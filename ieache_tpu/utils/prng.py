@@ -137,6 +137,47 @@ def binomial_noise(key, n: int, scale: int, noise_bits: int = 1024) -> np.ndarra
     return (centered * scale).astype(np.int32)
 
 
+# -- vectorized multi-stream variants (same per-stream outputs) -------------
+
+def derive_multi(key, indices) -> tuple:
+    """Vectorized `derive`: indices (R,) -> (k0s, k1s) arrays of shape (R,)."""
+    idx = np.asarray(indices, np.uint32)
+    y0, y1 = threefry2x32(key, (idx, np.full_like(idx, _GOLDEN)))
+    return (y0, y1)
+
+
+def random_bits_multi(keys, n: int) -> np.ndarray:
+    """Per-stream bits: keys = (k0s, k1s) of shape (R,) -> uint32 (R, n)."""
+    k0, k1 = (np.asarray(k, np.uint32) for k in keys)
+    nblocks = (n + 1) // 2
+    ctr = np.arange(nblocks, dtype=np.uint32)[None, :]
+    with np.errstate(over="ignore"):
+        y0, y1 = _threefry2x32_core(
+            k0[:, None], k1[:, None], ctr, np.zeros_like(ctr), np
+        )
+    out = np.empty((k0.shape[0], 2 * nblocks), dtype=np.uint32)
+    out[:, 0::2] = y0
+    out[:, 1::2] = y1
+    return out[:, :n]
+
+
+def binomial_noise_multi(keys, n: int, scale: int,
+                         noise_bits: int = 1024) -> np.ndarray:
+    """Per-stream centered binomial noise: (R, n) int32."""
+    k0 = np.asarray(keys[0], np.uint32)
+    r = k0.shape[0]
+    if scale == 0:
+        return np.zeros((r, n), dtype=np.int32)
+    words_per = noise_bits // 32
+    w = random_bits_multi(keys, n * words_per).reshape(r, n, words_per)
+    pop = (
+        np.unpackbits(w.view(np.uint8).reshape(r, n, -1), axis=2)
+        .sum(axis=2)
+        .astype(np.int64)
+    )
+    return ((pop - noise_bits // 2) * scale).astype(np.int32)
+
+
 # ---------------------------------------------------------------------------
 # jax.numpy (device) implementation — same spec, same outputs
 # ---------------------------------------------------------------------------
