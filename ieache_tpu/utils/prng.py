@@ -132,9 +132,19 @@ def binomial_noise(key, n: int, scale: int, noise_bits: int = 1024) -> np.ndarra
         return np.zeros(n, dtype=np.int32)
     words_per = noise_bits // 32
     w = random_bits(key, n * words_per).reshape(n, words_per)
-    pop = np.unpackbits(w.view(np.uint8), axis=1).sum(axis=1).astype(np.int64)
+    pop = _popcount32(w).sum(axis=1).astype(np.int64)
     centered = pop - noise_bits // 2
     return (centered * scale).astype(np.int32)
+
+
+def _popcount32(v: np.ndarray) -> np.ndarray:
+    """SWAR popcount of uint32 arrays (no memory blow-up)."""
+    v = v.astype(np.uint32)
+    v = v - ((v >> 1) & np.uint32(0x55555555))
+    v = (v & np.uint32(0x33333333)) + ((v >> 2) & np.uint32(0x33333333))
+    v = (v + (v >> 4)) & np.uint32(0x0F0F0F0F)
+    with np.errstate(over="ignore"):
+        return ((v * np.uint32(0x01010101)) >> 24).astype(np.int32)
 
 
 # -- vectorized multi-stream variants (same per-stream outputs) -------------
@@ -170,11 +180,7 @@ def binomial_noise_multi(keys, n: int, scale: int,
         return np.zeros((r, n), dtype=np.int32)
     words_per = noise_bits // 32
     w = random_bits_multi(keys, n * words_per).reshape(r, n, words_per)
-    pop = (
-        np.unpackbits(w.view(np.uint8).reshape(r, n, -1), axis=2)
-        .sum(axis=2)
-        .astype(np.int64)
-    )
+    pop = _popcount32(w).sum(axis=2).astype(np.int64)
     return ((pop - noise_bits // 2) * scale).astype(np.int32)
 
 
