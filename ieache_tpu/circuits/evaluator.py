@@ -1,0 +1,283 @@
+"""The Cloud evaluator: multi-precision signed expression operations.
+
+TPU-native counterpart of the reference evaluator binary's ``main``
+dispatch (``/root/reference/Cloud/cloud.c:650-2720``, component C10).
+Replicates its observable semantics:
+
+* operands arrive as **magnitude + metadata**: a negativity word and a
+  bit-count word encrypted under the *nbit* keyset, value limbs and a
+  zero carry word under the *main* keyset
+  (``Client1/alice.c:116-191`` layout, LSB-first bits, LSW-first limbs);
+* the evaluator **decrypts the metadata** with the nbit secret key it
+  holds — width/sign are cleartext-to-evaluator by design
+  (``cloud.c:710-713,780-795``; SURVEY Appendix A);
+* negativity codes: operand code 2 means negative (``process.c:80-93``);
+  combined code written to the answer is {0:0, 1:1, 2:2, 3:4}
+  (``cloud.c:798-827``);
+* result width: ``max(bit1, bit2)``, doubled for multiplication
+  (``cloud.c:832-855``); multiplying >=256-bit operands raises
+  (exit-126 guard, ``cloud.c:860-864``);
+* dispatch (``cloud.c:870,1194,2368``):
+  - magnitude add: (add & signs equal) or (sub & exactly one negative)
+  - A + twos(B): (sub & none negative) or (add & only B negative)
+  - B + twos(A): (sub & both negative) or (add & only A negative)
+  - mul: schoolbook magnitude product
+* the answer mirrors the operand layout (neg, bit, 8 value words,
+  carry) so chained expressions can feed it back as an operand
+  (``dragonfly_cipher_cloud.py:1300-1327``).  Deviation from the
+  reference: value limbs are always LSW-first (the reference's
+  multiply paths scatter limbs in an op-dependent order that its own
+  verif compensates — SURVEY Appendix A; we keep one canonical order
+  on both sides instead).
+
+Batching: one Operand holds B expressions with shared (op, widths,
+signs) — the reference evaluates one expression per process, this
+framework evaluates thousands per bootstrap batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from ieache_tpu.boot import gates
+from ieache_tpu.boot.bootstrap import DeviceCloudKey
+from ieache_tpu.circuits import arith, words
+from ieache_tpu.lwe import encrypt
+from ieache_tpu.lwe.types import SecretKeySet
+from ieache_tpu.utils import prng
+
+#: operation codes as written to operator.txt by the Output CLI
+#: (`output_dynamic.py:1115-1124`: + -> 1, - -> 2, * and / -> 4)
+OP_ADD, OP_SUB, OP_MUL = 1, 2, 4
+
+#: operand layout constants (alice.c:166-191): 8 value limb slots
+VALUE_SLOTS = 8
+META_WIDTH = 32
+
+
+class MulWidthError(Exception):
+    """256-bit multiplication rejection (`cloud.c:860-864`, exit 126)."""
+
+
+@dataclasses.dataclass
+class Operand:
+    """One batched operand in the reference wire layout."""
+
+    neg_word: jnp.ndarray    # (B, 32, n_nbit+1) under nbit key
+    bit_word: jnp.ndarray    # (B, 32, n_nbit+1) under nbit key
+    value: jnp.ndarray       # (B, 256, n+1) under main key (8 limbs x 32)
+    carry_word: jnp.ndarray  # (B, 32, n+1) encrypted zeros under main key
+
+    @property
+    def batch(self) -> int:
+        return self.neg_word.shape[0]
+
+
+def encrypt_operand(
+    main_ks: SecretKeySet,
+    nbit_ks: SecretKeySet,
+    values,
+    width: int,
+    stream,
+) -> Operand:
+    """Client-side operand encryption (alice semantics, C3).
+
+    `values` are signed python ints; magnitude is encrypted, sign goes
+    to the negativity word (code 2 = negative, `process.c:80-93`).
+    """
+    values = [int(v) for v in values]
+    negs = [2 if v < 0 else 0 for v in values]
+    mags = [abs(v) for v in values]
+    if any(m >= (1 << width) for m in mags):
+        raise ValueError(f"magnitude does not fit {width} bits")
+    neg_word = jnp.asarray(
+        encrypt.encrypt_bits(
+            nbit_ks,
+            words.values_to_bits(negs, META_WIDTH),
+            prng.derive(stream, 0),
+        )
+    )
+    bit_word = jnp.asarray(
+        encrypt.encrypt_bits(
+            nbit_ks,
+            words.values_to_bits([width] * len(values), META_WIDTH),
+            prng.derive(stream, 1),
+        )
+    )
+    value = jnp.asarray(
+        encrypt.encrypt_bits(
+            main_ks,
+            words.values_to_bits(mags, VALUE_SLOTS * 32),
+            prng.derive(stream, 2),
+        )
+    )
+    carry = jnp.asarray(
+        encrypt.encrypt_bits(
+            main_ks,
+            np.zeros((len(values), 32), np.int32),
+            prng.derive(stream, 3),
+        )
+    )
+    return Operand(neg_word, bit_word, value, carry)
+
+
+def _decrypt_meta_value(nbit_ks: SecretKeySet, word) -> np.ndarray:
+    bits = encrypt.decrypt_bits(nbit_ks, np.asarray(word))
+    return np.asarray(words.bits_to_values(bits), np.int64)
+
+
+class CloudEvaluator:
+    """Holds the evaluation keys and runs one (op, A, B) computation."""
+
+    def __init__(self, main_dck: DeviceCloudKey, nbit_ks: SecretKeySet,
+                 adder: str = "ripple"):
+        self.dck = main_dck
+        self.nbit_ks = nbit_ks
+        if adder not in ("ripple", "kogge_stone"):
+            raise ValueError(adder)
+        self.adder = adder
+        self.gate_count = 0
+
+    # -- helpers -----------------------------------------------------------
+    def _add(self, x, y, carry_in):
+        if self.adder == "kogge_stone":
+            s, c = arith.kogge_stone_add(x, y, self.dck, carry_in=carry_in)
+        else:
+            s, c = arith.ripple_add(x, y, carry_in, self.dck)
+        self.gate_count += 5 * x.shape[1] * x.shape[0]
+        return s, c
+
+    def _twos(self, x):
+        b, w, _ = x.shape
+        n = self.dck.params.n
+        one = words.trivial_word(b, w, n, 1)
+        zero_c = gates.CONSTANT(jnp.zeros((b,), jnp.int32), n)
+        s, _ = self._add(arith.not_word(x), one, zero_c)
+        return s
+
+    # -- the dispatch ------------------------------------------------------
+    def compute(self, op: int, a: Operand, b: Operand):
+        """Returns (answer Operand, info dict) — `cloud.c:650-2720`."""
+        nbit = self.nbit_ks
+        neg1 = _decrypt_meta_value(nbit, a.neg_word)
+        neg2 = _decrypt_meta_value(nbit, b.neg_word)
+        bit1 = _decrypt_meta_value(nbit, a.bit_word)
+        bit2 = _decrypt_meta_value(nbit, b.bit_word)
+
+        # codes must agree across the batch (one dispatch per run,
+        # like one ./cloud invocation)
+        neg1 = int(neg1[0])
+        neg2 = int(neg2[0])
+        width = int(max(bit1.max(), bit2.max()))
+
+        # cloud.c:787-804: combined negativity in {0,1,2,3}
+        # (0 = none, 1 = A negative, 2 = B negative, 3 = both).
+        # Operand codes: 2 from clients (process.c:80-93); 1/2/4 when a
+        # chained answer is fed back as an operand — normalize both.
+        n1 = 1 if neg1 in (1, 2, 4) else 0
+        n2 = 1 if neg2 in (1, 2, 4) else 0
+        combined = n1 + 2 * n2
+        answer_code = {0: 0, 1: 1, 2: 2, 3: 4}[combined]
+
+        out_width = width
+        if op == OP_MUL:
+            if width >= 256:
+                raise MulWidthError(
+                    "Cannot multiply 256 bit number!"
+                )  # cloud.c:860-864
+            out_width = 2 * width
+
+        batch = a.batch
+        n = self.dck.params.n
+        av = a.value[:, :width, :]
+        bv = b.value[:, :width, :]
+        zero_c = gates.CONSTANT(jnp.zeros((batch,), jnp.int32), n)
+
+        if op == OP_MUL:
+            result = arith.schoolbook_mul(av, bv, self.dck, out_width)
+            self.gate_count += 11 * width * width * batch
+        elif (op == OP_ADD and combined in (0, 3)) or (
+            op == OP_SUB and combined in (1, 2)
+        ):
+            # magnitude addition: A+B, (-A)+(-B), A-(-B), (-A)-B
+            result, _ = self._add(av, bv, zero_c)
+        elif (op == OP_SUB and combined == 0) or (
+            op == OP_ADD and combined == 2
+        ):
+            # A - B  /  A + (-B): A + twos(B), raw two's complement out
+            result, _ = self._add(av, self._twos(bv), zero_c)
+        elif (op == OP_SUB and combined == 3) or (
+            op == OP_ADD and combined == 1
+        ):
+            # (-A) - (-B) = B - A  /  (-A) + B: B + twos(A)
+            result, _ = self._add(bv, self._twos(av), zero_c)
+        else:
+            raise ValueError(f"bad op {op}")
+
+        # answer metadata (fresh nbit encryptions, cloud.c:808-855)
+        stream = prng.key_from_seed_words([0xA27, op, width, answer_code])
+        ans_bits = out_width
+        neg_word = jnp.asarray(
+            encrypt.encrypt_bits(
+                nbit,
+                words.values_to_bits([answer_code] * batch, META_WIDTH),
+                prng.derive(stream, 0),
+            )
+        )
+        bit_word = jnp.asarray(
+            encrypt.encrypt_bits(
+                nbit,
+                words.values_to_bits([ans_bits] * batch, META_WIDTH),
+                prng.derive(stream, 1),
+            )
+        )
+
+        # pad result limbs to 8 slots with copies of the carry word
+        # (the cloud cannot encrypt under the main key: cloud.c:899-916)
+        pads = (VALUE_SLOTS * 32 - out_width) // 32
+        value = jnp.concatenate(
+            [result] + [a.carry_word] * pads, axis=1
+        )
+        answer = Operand(neg_word, bit_word, value, a.carry_word)
+        info = {
+            "op": op,
+            "width": width,
+            "out_width": out_width,
+            "neg_code": answer_code,
+            "combined_neg": combined,
+        }
+        return answer, info
+
+
+def decrypt_answer(
+    main_ks: SecretKeySet, nbit_ks: SecretKeySet, answer: Operand, op: int
+) -> list:
+    """Output-side decryption (verif semantics, C11;
+    ``/root/reference/Output/verif.c:19-1653``).
+
+    Interpretation table per (op, answer negativity code):
+      add : 0 -> +mag ; 1,2 -> two's complement ; 4 -> -mag
+      sub : 0,4 -> two's complement ; 1 -> -mag ; 2 -> +mag
+      mul : 0,4 -> +mag ; 1,2 -> -mag
+    (`verif.c:132-173,1424-1429` sign fix-up rules.)
+    """
+    code = int(_decrypt_meta_value(nbit_ks, answer.neg_word)[0])
+    width = int(_decrypt_meta_value(nbit_ks, answer.bit_word)[0])
+    vals = words.decrypt_word(main_ks, answer.value[:, :width, :])
+
+    def signed(v):
+        return v - (1 << width) if v >= (1 << (width - 1)) else v
+
+    if op == OP_ADD:
+        table = {0: lambda v: v, 1: signed, 2: signed, 4: lambda v: -v}
+    elif op == OP_SUB:
+        table = {0: signed, 4: signed, 1: lambda v: -v, 2: lambda v: v}
+    elif op == OP_MUL:
+        table = {0: lambda v: v, 4: lambda v: v,
+                 1: lambda v: -v, 2: lambda v: -v}
+    else:
+        raise ValueError(f"bad op {op}")
+    return [table[code](v) for v in vals]

@@ -1,0 +1,94 @@
+import numpy as np
+
+import ieache_tpu.boot.bootstrap as B
+from ieache_tpu import params as P
+from ieache_tpu.circuits import evaluator as ev
+from ieache_tpu.lwe import keygen
+from ieache_tpu.utils import prng
+
+_CACHE = {}
+
+
+def _setup():
+    if "ks" not in _CACHE:
+        pair = keygen.generate_gate_keypair(P.TEST_TINY)
+        _CACHE["pair"] = pair
+        _CACHE["dck"] = B.pack_cloud_key(pair.main.cloud)
+        _CACHE["ev"] = ev.CloudEvaluator(_CACHE["dck"], pair.nbit)
+    return _CACHE["pair"], _CACHE["ev"]
+
+
+def _run(op, avals, bvals, width=8):
+    pair, cloud = _setup()
+    s = prng.key_from_seed_words([len(avals), op, width])
+    a = ev.encrypt_operand(pair.main, pair.nbit, avals, width,
+                           prng.derive(s, 0))
+    b = ev.encrypt_operand(pair.main, pair.nbit, bvals, width,
+                           prng.derive(s, 1))
+    ans, info = cloud.compute(op, a, b)
+    return ev.decrypt_answer(pair.main, pair.nbit, ans, op), info
+
+
+def test_add_all_sign_cases():
+    got, _ = _run(ev.OP_ADD, [3, 9], [5, 100])
+    assert got == [8, 109]
+    got, _ = _run(ev.OP_ADD, [-3, -9], [-5, -100])
+    assert got == [-8, -109]
+    got, _ = _run(ev.OP_ADD, [-3, -100], [5, 9])
+    assert got == [2, -91]
+    got, _ = _run(ev.OP_ADD, [3, 9], [-5, -2])
+    assert got == [-2, 7]
+
+
+def test_sub_all_sign_cases():
+    got, _ = _run(ev.OP_SUB, [7, 3], [3, 7])
+    assert got == [4, -4]
+    got, _ = _run(ev.OP_SUB, [-7, -1], [3, 9])
+    assert got == [-10, -10]
+    got, _ = _run(ev.OP_SUB, [7, 2], [-3, -9])
+    assert got == [10, 11]
+    got, _ = _run(ev.OP_SUB, [-7, -9], [-3, -2])
+    assert got == [-4, -7]
+
+
+def test_mul_all_sign_cases():
+    got, info = _run(ev.OP_MUL, [3, 11], [5, 13])
+    assert got == [15, 143]
+    assert info["out_width"] == 16
+    got, _ = _run(ev.OP_MUL, [-3, -11], [5, 13])
+    assert got == [-15, -143]
+    got, _ = _run(ev.OP_MUL, [3, 11], [-5, -13])
+    assert got == [-15, -143]
+    got, _ = _run(ev.OP_MUL, [-3, -11], [-5, -13])
+    assert got == [15, 143]
+
+
+def test_mul_256bit_rejected():
+    pair, cloud = _setup()
+    s = prng.key_from_seed_words([1])
+    a = ev.encrypt_operand(pair.main, pair.nbit, [1], 256,
+                           prng.derive(s, 0))
+    b = ev.encrypt_operand(pair.main, pair.nbit, [1], 256,
+                           prng.derive(s, 1))
+    try:
+        cloud.compute(ev.OP_MUL, a, b)
+        assert False, "expected MulWidthError"
+    except ev.MulWidthError:
+        pass
+
+
+def test_answer_chains_as_operand():
+    """answer layout == operand layout (compute_final chaining,
+    dragonfly_cipher_cloud.py:1300-1327)."""
+    pair, cloud = _setup()
+    s = prng.key_from_seed_words([2])
+    a = ev.encrypt_operand(pair.main, pair.nbit, [3, 4], 8,
+                           prng.derive(s, 0))
+    b = ev.encrypt_operand(pair.main, pair.nbit, [5, 6], 8,
+                           prng.derive(s, 1))
+    c = ev.encrypt_operand(pair.main, pair.nbit, [7, 8], 8,
+                           prng.derive(s, 2))
+    ab, _ = cloud.compute(ev.OP_ADD, a, b)
+    abc, _ = cloud.compute(ev.OP_ADD, ab, c)
+    got = ev.decrypt_answer(pair.main, pair.nbit, abc, ev.OP_ADD)
+    assert got == [3 + 5 + 7, 4 + 6 + 8]
