@@ -61,16 +61,18 @@ def main():
     cx = jnp.asarray(encrypt.encrypt_bits(ks, xbits, prng.derive(stream, 2)))
     cy = jnp.asarray(encrypt.encrypt_bits(ks, ybits, prng.derive(stream, 3)))
 
+    # NOTE: device->host materialization (np.asarray) is the fence;
+    # block_until_ready() returns early on the tunneled axon platform.
     out = gates.NAND(cx, cy, dck)  # compile + warmup
-    out.block_until_ready()
+    np.asarray(out)
 
     t0 = time.time()
     for _ in range(iters):
         out = gates.NAND(cx, cy, dck)
-    out.block_until_ready()
+    out_host = np.asarray(out)
     dt = time.time() - t0
 
-    got = encrypt.decrypt_bits(ks, np.asarray(out))
+    got = encrypt.decrypt_bits(ks, out_host)
     want = 1 - (xbits & ybits)
     errors = int((got != want).sum())
 

@@ -49,44 +49,75 @@ def _dot_i8(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_step_gmatrix(bk_step: jnp.ndarray, params: TFHEParams) -> jnp.ndarray:
-    """TRGSW step -> flattened negacyclic matmul operand.
+    """TRGSW step -> negacyclic matmul operand (Toeplitz tensor).
 
-    bk_step: int32 (rows, k+1, N) -> int8 (TORUS_LIMBS, rows*N, (k+1)*N)
-    with G[v, p*N+m, o*N+j] = limb_v( e_{p,o}[N + j - m] ),
-    e = concat(-g, g).
+    bk_step: int32 (rows, k+1, N) -> int8 (TORUS_LIMBS, rows, k+1, N, N)
+    with G[v, p, o, m, j] = limb_v( e_{p,o}[N + j - m] ), e = concat(-g, g).
+    Kept in this axis order (no transposes/reshapes across non-adjacent
+    axes — those cost ~100 MB of relayout per step); the consumer uses
+    a multi-dimension dot_general contraction instead.
     """
     n = params.N
-    rows, kp1 = bk_step.shape[0], bk_step.shape[1]
     e = negacyclic_extend(bk_step)            # (rows, k+1, 2N) int32
     el = split_i8_limbs(e)                    # (rows, k+1, 2N, L) int8
     el = jnp.moveaxis(el, -1, 0)              # (L, rows, k+1, 2N)
     t = _toeplitz_from_extended(el, n)        # (L, rows, k+1, N, 2N)
-    t = t[..., n:]                            # (L, rows, k+1, N, N)
-    t = jnp.moveaxis(t, 3, 2)                 # (L, rows, N, k+1, N)
-    return t.reshape(TORUS_LIMBS, rows * n, kp1 * n)
+    return t[..., n:]                         # (L, rows, k+1, N, N)
 
 
 def negacyclic_rotate_batch(acc: jnp.ndarray, amount: jnp.ndarray) -> jnp.ndarray:
     """X^amount · acc for per-batch amounts in [0, 2N).
 
     acc: (B, k+1, N) int32; amount: (B,) int32 -> (B, k+1, N).
+
+    Implemented as a barrel shifter: log2(2N) stages of conditional
+    *static* negacyclic rolls (VPU selects + lane rolls).  A
+    take-along-axis gather here costs ~4 ms/step on TPU at B=512 —
+    ~10x the entire external product's matmuls — because per-row
+    dynamic gathers do not vectorize across lanes; the barrel shifter
+    is pure elementwise traffic.
     """
     n = acc.shape[-1]
-    acc2 = jnp.concatenate([acc, -acc], axis=-1)          # (B, k+1, 2N)
-    j = jnp.arange(n, dtype=jnp.int32)
-    idx = (j[None, :] - amount[:, None]) % (2 * n)        # (B, N)
-    return jnp.take_along_axis(acc2, idx[:, None, :], axis=-1)
+    j = jnp.arange(n, dtype=jnp.int32)[None, None, :]
+    x = acc
+    # stage for shift amount 2^t, t = 0 .. log2(2N)-1; a shift by N or
+    # more is  X^N == -1  times the shift-by-(s-N) — handled naturally
+    # by the sign-flip mask of each static roll.
+    shift = 1
+    for t in range(params_log2_2n(n)):
+        bit = ((amount >> t) & 1).astype(jnp.bool_)[:, None, None]
+        if shift < n:
+            rolled = jnp.roll(x, shift, axis=-1)
+            rolled = jnp.where(j < shift, -rolled, rolled)
+        else:  # shift == N: X^N * x == -x
+            rolled = -x
+        x = jnp.where(bit, rolled, x)
+        shift *= 2
+    return x
+
+
+def params_log2_2n(n: int) -> int:
+    return int(2 * n).bit_length() - 1
 
 
 def _step_digits(acc: jnp.ndarray, bara_i: jnp.ndarray,
                  params: TFHEParams) -> jnp.ndarray:
-    """Digits of (X^bara·acc - acc): int32 (B, rows*N)."""
+    """Digits of (X^bara·acc - acc): int32 (B, rows, N)."""
     b = acc.shape[0]
     diff = negacyclic_rotate_batch(acc, bara_i) - acc      # (B, k+1, N)
     digits = gadget_decompose(diff, params.bg_bit, params.l)
     # (B, k+1, N, l) -> (B, k+1, l, N): row p = u*l + j matches BK layout
     digits = jnp.moveaxis(digits, -1, 2)
-    return digits.reshape(b, params.trgsw_rows * params.N)
+    return digits.reshape(b, params.trgsw_rows, params.N)
+
+
+def _dot_digits_g(d8: jnp.ndarray, gv: jnp.ndarray) -> jnp.ndarray:
+    """(B, rows, m) x (rows, kp1, m, j) -> (B, kp1, j), s8 x s8 -> s32."""
+    return jax.lax.dot_general(
+        d8, gv,
+        dimension_numbers=(((1, 2), (0, 2)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
 
 
 def external_product_step(
@@ -94,25 +125,23 @@ def external_product_step(
     params: TFHEParams,
 ) -> jnp.ndarray:
     """One CMux: acc + BK_i ⊡ (X^bara_i · acc - acc).  Exact mod 2^32."""
-    b = acc.shape[0]
-    kp1, n = params.k + 1, params.N
-    d = _step_digits(acc, bara_i, params)                  # (B, K) int32
-    g = make_step_gmatrix(bk_i, params)                    # (L, K, kp1*N)
+    d = _step_digits(acc, bara_i, params)                  # (B, rows, N)
+    g = make_step_gmatrix(bk_i, params)                    # (L, rows, kp1, N, N)
 
-    out = jnp.zeros((b, kp1 * n), jnp.int32)
+    out = jnp.zeros_like(acc)
     if params.digit_limbs == 1:
         d8 = d.astype(jnp.int8)
         for v in range(TORUS_LIMBS):
-            out = out + (_dot_i8(d8, g[v]) << (8 * v))
+            out = out + (_dot_digits_g(d8, g[v]) << (8 * v))
     else:
-        dl = split_i8_limbs(d, params.digit_limbs)         # (B, K, 2)
+        dl = split_i8_limbs(d, params.digit_limbs)         # (B, rows, N, 2)
         for u in range(params.digit_limbs):
             for v in range(TORUS_LIMBS):
                 sh = 8 * u + 8 * v
                 if sh >= 32:
                     continue
-                out = out + (_dot_i8(dl[..., u], g[v]) << sh)
-    return acc + out.reshape(b, kp1, n)
+                out = out + (_dot_digits_g(dl[..., u], g[v]) << sh)
+    return acc + out
 
 
 def blind_rotate(
