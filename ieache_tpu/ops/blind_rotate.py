@@ -144,6 +144,57 @@ def external_product_step(
     return acc + out
 
 
+def external_product_step_sharded(
+    acc: jnp.ndarray, bara_i: jnp.ndarray, bk_i_local: jnp.ndarray,
+    params: TFHEParams, tp_axis: str,
+) -> jnp.ndarray:
+    """Tensor-parallel CMux step (runs inside shard_map).
+
+    The TRGSW `rows` axis is sharded over `tp_axis`: each shard holds
+    ``bk_i_local (rows/tp, k+1, N)``, builds only its G slice, contracts
+    it against its digit slice, and the partial external products are
+    combined with one ``psum`` over the ICI.  acc stays replicated
+    across tp (it is dp-sharded over the batch).
+    """
+    rows_local = bk_i_local.shape[0]
+    digits = _step_digits(acc, bara_i, params)             # (B, rows, N)
+    start = jax.lax.axis_index(tp_axis) * rows_local
+    d_local = jax.lax.dynamic_slice_in_dim(digits, start, rows_local, 1)
+    g = make_step_gmatrix(bk_i_local, params)              # (L, r/tp, ...)
+
+    out = jnp.zeros_like(acc)
+    if params.digit_limbs == 1:
+        d8 = d_local.astype(jnp.int8)
+        for v in range(TORUS_LIMBS):
+            out = out + (_dot_digits_g(d8, g[v]) << (8 * v))
+    else:
+        dl = split_i8_limbs(d_local, params.digit_limbs)
+        for u in range(params.digit_limbs):
+            for v in range(TORUS_LIMBS):
+                sh = 8 * u + 8 * v
+                if sh >= 32:
+                    continue
+                out = out + (_dot_digits_g(dl[..., u], g[v]) << sh)
+    return acc + jax.lax.psum(out, tp_axis)
+
+
+def blind_rotate_sharded(
+    acc0: jnp.ndarray, bara: jnp.ndarray, bk_local: jnp.ndarray,
+    params: TFHEParams, tp_axis: str,
+) -> jnp.ndarray:
+    """Blind rotation with the BK rows axis sharded over `tp_axis`."""
+    def step(acc, xs):
+        bk_i, bara_i = xs
+        return (
+            external_product_step_sharded(acc, bara_i, bk_i, params,
+                                          tp_axis),
+            None,
+        )
+
+    acc, _ = jax.lax.scan(step, acc0, (bk_local, bara.T))
+    return acc
+
+
 def blind_rotate(
     acc0: jnp.ndarray, bara: jnp.ndarray, bk: jnp.ndarray,
     params: TFHEParams,
