@@ -36,8 +36,8 @@ def _params_from_dict(d: dict) -> TFHEParams:
     return TFHEParams(**d)
 
 
-def save_container(path: str, params: TFHEParams, arrays: dict,
-                   kind: str) -> None:
+def dumps_container(params: TFHEParams, arrays: dict, kind: str,
+                    extra: dict | None = None) -> bytes:
     manifest = []
     blobs = []
     offset = 0
@@ -54,33 +54,60 @@ def save_container(path: str, params: TFHEParams, arrays: dict,
         raw = arr.tobytes()
         blobs.append(raw)
         offset += len(raw)
-    header = json.dumps(
-        {
-            "kind": kind,
-            "params": _params_to_dict(params),
-            "arrays": manifest,
-        }
-    ).encode()
+    hdr = {
+        "kind": kind,
+        "params": _params_to_dict(params),
+        "arrays": manifest,
+    }
+    if extra:
+        hdr["extra"] = extra
+    header = json.dumps(hdr).encode()
+    return b"".join(
+        [MAGIC, struct.pack("<I", len(header)), header] + blobs
+    )
+
+
+def loads_container(blob: bytes, expect_kind: str | None = None):
+    if blob[:4] != MAGIC:
+        raise ValueError(f"bad magic {blob[:4]!r}")
+    (hlen,) = struct.unpack("<I", blob[4:8])
+    header = json.loads(blob[8:8 + hlen].decode())
+    if expect_kind and header["kind"] != expect_kind:
+        raise ValueError(
+            f"kind {header['kind']!r}, wanted {expect_kind!r}"
+        )
+    payload = blob[8 + hlen:]
+    params = _params_from_dict(header["params"])
+    arrays = {}
+    for m in header["arrays"]:
+        dt = np.dtype(m["dtype"])
+        count = int(np.prod(m["shape"])) if m["shape"] else 1
+        arr = np.frombuffer(
+            payload, dtype=dt, count=count, offset=m["offset"]
+        ).reshape(m["shape"])
+        arrays[m["name"]] = arr
+    return params, arrays, header
+
+
+def save_container(path: str, params: TFHEParams, arrays: dict,
+                   kind: str) -> None:
     with open(path, "wb") as f:
-        f.write(MAGIC)
-        f.write(struct.pack("<I", len(header)))
-        f.write(header)
-        for b in blobs:
-            f.write(b)
+        f.write(dumps_container(params, arrays, kind))
 
 
 def load_container(path: str, expect_kind: str | None = None):
     with open(path, "rb") as f:
-        magic = f.read(4)
-        if magic != MAGIC:
-            raise ValueError(f"{path}: bad magic {magic!r}")
-        (hlen,) = struct.unpack("<I", f.read(4))
-        header = json.loads(f.read(hlen).decode())
-        if expect_kind and header["kind"] != expect_kind:
-            raise ValueError(
-                f"{path}: kind {header['kind']!r}, wanted {expect_kind!r}"
-            )
-        payload = f.read()
+        blob = f.read()
+    magic = blob[:4]
+    if magic != MAGIC:
+        raise ValueError(f"{path}: bad magic {magic!r}")
+    (hlen,) = struct.unpack("<I", blob[4:8])
+    header = json.loads(blob[8:8 + hlen].decode())
+    if expect_kind and header["kind"] != expect_kind:
+        raise ValueError(
+            f"{path}: kind {header['kind']!r}, wanted {expect_kind!r}"
+        )
+    payload = blob[8 + hlen:]
     params = _params_from_dict(header["params"])
     arrays = {}
     for m in header["arrays"]:

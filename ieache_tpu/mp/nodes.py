@@ -1,0 +1,457 @@
+"""The four protocol roles: Keygen, Client, Cloud, Output.
+
+TPU-native counterparts of the reference's per-node script stacks
+(components C15-C22; see SURVEY §2):
+
+* KeygenNode — `Keygen/dragonfly_private_keygen.py:548-728` +
+  `dragonfly_public_keygen.py:553-722` + `keygen_dynamic.py:22-55`:
+  generates the two keysets once, serves secret keys to Output and
+  clients and the cloud key to Cloud (SAE per peer, AES-wrapped
+  DataKey chunks), then signals "finished" to Output.
+* ClientNode — `Client1/dragonfly_private_client.py:548-669` (key
+  receive) + `dragonfly_cipher_client.py:41-167` (ciphertext serve):
+  on each Cloud pull it re-encrypts its value (the ./alice run) and
+  streams the operand with stop-and-wait acks.
+* CloudNode — `Cloud/dragonfly_public_cloud.py:541-651` (key receive)
+  + `dragonfly_cipher_cloud.py:512-1456` (job orchestrator): receives
+  the AES-wrapped job descriptor, walks the postfix expression pulling
+  operands, evaluates on TPU, ships the answer.
+* OutputNode — `Output/output_dynamic.py:26-1252` +
+  `dragonfly_private_Output.py`: obtains secret keys, submits the job,
+  receives and decrypts the answer.
+
+All listeners bind dynamic loopback ports by default so the whole
+six-role topology runs in-process (the multi-node test harness the
+reference lacks, SURVEY §4); point them at real interfaces for a
+multi-host deployment.
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+
+import numpy as np
+
+from ieache_tpu.circuits import evaluator as ev
+from ieache_tpu.codec import files, schema
+from ieache_tpu.lwe import keygen as kg
+from ieache_tpu.lwe.types import CloudKeySet, GateKeyPair, SecretKeySet
+from ieache_tpu.mp import keywrap, scheduler, transport, wire
+from ieache_tpu.utils import prng
+
+DEFAULT_WIDTH = 32
+
+
+def _listener(handler, host="127.0.0.1", port=0):
+    """Start a threaded accept loop; returns (addr, server_socket)."""
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind((host, port))
+    srv.listen(8)
+    addr = srv.getsockname()
+
+    def loop():
+        while True:
+            try:
+                conn, peer = srv.accept()
+            except OSError:
+                return  # listener closed
+            t = threading.Thread(
+                target=handler, args=(conn, peer), daemon=True
+            )
+            t.start()
+
+    threading.Thread(target=loop, daemon=True).start()
+    return addr, srv
+
+
+def _send_keypair(sock, pmk, key_blob: bytes, nbit_blob: bytes,
+                  chunk: int = 8192):
+    """AES-wrap and stream both blobs as paired DataKey chunks
+    (`dragonfly_private_keygen.py:644-682`)."""
+    wrapped_k = keywrap.encrypt_bytes(pmk, key_blob)
+    wrapped_n = keywrap.encrypt_bytes(pmk, nbit_blob)
+    transport.send_msg(
+        sock, schema.DataFsize, {"data": len(wrapped_k)}
+    )
+    transport.recv_ack(sock)
+    transport.send_msg(
+        sock, schema.DataFsize, {"data": len(wrapped_n)}
+    )
+    transport.recv_ack(sock)
+    nchunks = max(
+        (len(wrapped_k) + chunk - 1) // chunk,
+        (len(wrapped_n) + chunk - 1) // chunk,
+    )
+    for i in range(nchunks):
+        transport.send_msg(
+            sock, schema.DataKey,
+            {
+                "key": wrapped_k[i * chunk:(i + 1) * chunk],
+                "nbit": wrapped_n[i * chunk:(i + 1) * chunk],
+            },
+        )
+        if not transport.recv_ack(sock):
+            raise ConnectionError("key chunk rejected")
+
+
+def _recv_keypair(sock, pmk):
+    size_k = transport.recv_msg(sock, schema.DataFsize)["data"]
+    transport.send_ack(sock)
+    size_n = transport.recv_msg(sock, schema.DataFsize)["data"]
+    transport.send_ack(sock)
+    buf_k, buf_n = b"", b""
+    while len(buf_k) < size_k or len(buf_n) < size_n:
+        values = transport.recv_msg(sock, schema.DataKey)
+        buf_k += values["key"]
+        buf_n += values["nbit"]
+        transport.send_ack(sock)
+    return (
+        keywrap.decrypt_bytes(pmk, buf_k[:size_k]),
+        keywrap.decrypt_bytes(pmk, buf_n[:size_n]),
+    )
+
+
+class KeygenNode:
+    """Key generation + distribution (C1, C15-C17)."""
+
+    def __init__(self, params, password: str = "abc1238",
+                 pair: GateKeyPair | None = None):
+        self.password = password
+        self.pair = pair or kg.generate_gate_keypair(params)
+        self.mac = "keygen"
+        self._secret_blob = files.dumps_container(
+            self.pair.main.params,
+            {
+                "lwe_s": self.pair.main.lwe_key.s,
+                "trlwe_k": self.pair.main.trlwe_key.coefs,
+                "bk": self.pair.main.cloud.bk,
+                "ks": self.pair.main.cloud.ks,
+            },
+            kind="secret_keyset",
+        )
+        self._nbit_blob = files.dumps_container(
+            self.pair.nbit.params,
+            {
+                "lwe_s": self.pair.nbit.lwe_key.s,
+                "trlwe_k": self.pair.nbit.trlwe_key.coefs,
+                "bk": self.pair.nbit.cloud.bk,
+                "ks": self.pair.nbit.cloud.ks,
+            },
+            kind="secret_keyset",
+        )
+        self._cloud_blob = files.dumps_container(
+            self.pair.main.params,
+            {"bk": self.pair.main.cloud.bk, "ks": self.pair.main.cloud.ks},
+            kind="cloud_keyset",
+        )
+        self.served = []
+
+    def start(self):
+        """Key-plane server: Output/clients get secret keys, Cloud gets
+        the evaluation key (+ the nbit secret keyset — the reference
+        hands Cloud the nbit *secret* key for metadata, SURVEY A)."""
+        def handle(conn, peer):
+            try:
+                pmk, role = transport.sae_handshake(
+                    conn, self.password, self.mac
+                )
+                if role.startswith("cloud"):
+                    _send_keypair(conn, pmk, self._cloud_blob,
+                                  self._nbit_blob)
+                else:
+                    _send_keypair(conn, pmk, self._secret_blob,
+                                  self._nbit_blob)
+                self.served.append(role)
+            finally:
+                conn.close()
+
+        self.addr, self._srv = _listener(handle)
+        return self.addr
+
+    def notify_finished(self, output_addr):
+        s = transport.connect_retry(*output_addr)
+        try:
+            transport.send_msg(
+                s, schema.DataIndicator, {"data": "finished"}
+            )
+        finally:
+            s.close()
+
+    def stop(self):
+        self._srv.close()
+
+
+class ClientNode:
+    """Value holder + encryptor + ciphertext server (C2, C3, C18, C19)."""
+
+    def __init__(self, index: int, password: str = "abc1238"):
+        self.index = index
+        self.password = password
+        self.mac = f"client-{index}"
+        self.main_ks: SecretKeySet | None = None
+        self.nbit_ks: SecretKeySet | None = None
+        self.values = None
+        self.width = DEFAULT_WIDTH
+        self._serve_count = 0
+
+    def receive_keys(self, keygen_addr):
+        s = transport.connect_retry(*keygen_addr)
+        try:
+            pmk, _ = transport.sae_handshake(s, self.password, self.mac)
+            secret_blob, nbit_blob = _recv_keypair(s, pmk)
+        finally:
+            s.close()
+        self.main_ks = _secret_from_blob(secret_blob)
+        self.nbit_ks = _secret_from_blob(nbit_blob)
+
+    def set_value(self, values, width: int = DEFAULT_WIDTH):
+        self.values = list(values)
+        self.width = width
+
+    def encrypt_operand(self) -> ev.Operand:
+        """The ./alice run (`dragonfly_cipher_client.py:49`)."""
+        self._serve_count += 1
+        stream = prng.key_from_seed_words(
+            [0xC11E27, self.index, self._serve_count]
+        )
+        return ev.encrypt_operand(
+            self.main_ks, self.nbit_ks, self.values, self.width, stream
+        )
+
+    def start_data_server(self):
+        def handle(conn, peer):
+            try:
+                op = self.encrypt_operand()
+                blob = wire.operand_to_bytes(
+                    op, self.main_ks.params, self.nbit_ks.params
+                )
+                transport.send_blob(conn, blob)
+            finally:
+                conn.close()
+
+        self.addr, self._srv = _listener(handle)
+        return self.addr
+
+    def stop(self):
+        self._srv.close()
+
+
+class CloudNode:
+    """Evaluator + job orchestrator (C10, C20, C21)."""
+
+    def __init__(self, password: str = "abc1238", adder: str = "ripple"):
+        self.password = password
+        self.mac = "cloud"
+        self.adder = adder
+        self.evaluator: ev.CloudEvaluator | None = None
+        self.client_addrs = {}
+        self.timings = []
+
+    def receive_keys(self, keygen_addr):
+        import ieache_tpu.boot.bootstrap as boot
+
+        s = transport.connect_retry(*keygen_addr)
+        try:
+            pmk, _ = transport.sae_handshake(s, self.password, self.mac)
+            cloud_blob, nbit_blob = _recv_keypair(s, pmk)
+        finally:
+            s.close()
+        params, arrays, _ = files.loads_container(cloud_blob,
+                                                  "cloud_keyset")
+        cloud = CloudKeySet(
+            params, arrays["bk"].astype(np.int32),
+            arrays["ks"].astype(np.int32),
+        )
+        nbit_ks = _secret_from_blob(nbit_blob)
+        self.evaluator = ev.CloudEvaluator(
+            boot.pack_cloud_key(cloud), nbit_ks, adder=self.adder
+        )
+
+    def register_clients(self, letter_to_addr: dict):
+        """letter ('A'..) -> client data-server address."""
+        self.client_addrs = dict(letter_to_addr)
+
+    def _fetch(self, letter):
+        """Pull an operand stream (cipher()/cipher_ab() equivalent)."""
+        addr = self.client_addrs[letter]
+        s = transport.connect_retry(*addr)
+        try:
+            blob = transport.recv_blob(s)
+        finally:
+            s.close()
+        return wire.operand_from_bytes(blob)
+
+    def run_job(self, postfix: str):
+        """Walk the expression; returns (answer Operand, final op)."""
+        import time as _t
+
+        def compute(op_char, a, b):
+            t0 = _t.perf_counter()
+            ans, info = self.evaluator.compute(
+                scheduler.OPCODES[op_char], a, b
+            )
+            self.timings.append(
+                {"op": op_char, "seconds": _t.perf_counter() - t0,
+                 **info}
+            )
+            return ans
+
+        return scheduler.walk_postfix(postfix, self._fetch, compute)
+
+    def start_job_server(self):
+        """Accept a job from Output over SAE; reply with the answer."""
+        def handle(conn, peer):
+            try:
+                pmk, _ = transport.sae_handshake(conn, self.password,
+                                                 self.mac)
+                job = transport.recv_msg(conn, schema.DataUserInput)
+                postfix = keywrap.decrypt_bytes(
+                    pmk, job["postfix"]["postfix"]
+                ).decode()
+                # client endpoints ride the ipaddress fields as
+                # "letter=host:port" (AES-wrapped like the reference's
+                # per-field blobs, output_dynamic.py:748-867)
+                for fld in ("ipaddress1", "ipaddress2", "ipaddress3"):
+                    raw = job["ipaddress"].get(fld)
+                    if not raw:
+                        continue
+                    txt = keywrap.decrypt_bytes(pmk, raw).decode()
+                    letter, hostport = txt.split("=", 1)
+                    host, port = hostport.rsplit(":", 1)
+                    self.client_addrs[letter] = (host, int(port))
+                transport.send_ack(conn)
+                try:
+                    answer, last_op = self.run_job(postfix)
+                except (scheduler.JobError, ev.MulWidthError) as e:
+                    transport.send_msg(
+                        conn, schema.DataIndicator,
+                        {"data": f"error: {e}"},
+                    )
+                    return
+                blob = wire.operand_to_bytes(
+                    answer,
+                    self.evaluator.dck.params,
+                    self.evaluator.nbit_ks.params,
+                )
+                transport.send_msg(
+                    conn, schema.DataIndicator, {"data": "answer"}
+                )
+                transport.send_blob(
+                    conn, blob,
+                    size_schema=schema.DataAnsSize,
+                    content_schema=schema.DataAnswer,
+                )
+            finally:
+                conn.close()
+
+        self.addr, self._srv = _listener(handle)
+        return self.addr
+
+    def stop(self):
+        self._srv.close()
+
+
+class OutputNode:
+    """User-facing driver + decryptor (C11, C18, C22)."""
+
+    def __init__(self, password: str = "abc1238"):
+        self.password = password
+        self.mac = "output"
+        self.main_ks: SecretKeySet | None = None
+        self.nbit_ks: SecretKeySet | None = None
+        self._finished = threading.Event()
+
+    def receive_keys(self, keygen_addr):
+        s = transport.connect_retry(*keygen_addr)
+        try:
+            pmk, _ = transport.sae_handshake(s, self.password, self.mac)
+            secret_blob, nbit_blob = _recv_keypair(s, pmk)
+        finally:
+            s.close()
+        self.main_ks = _secret_from_blob(secret_blob)
+        self.nbit_ks = _secret_from_blob(nbit_blob)
+
+    def start_indicator_server(self):
+        def handle(conn, peer):
+            try:
+                msg = transport.recv_msg(conn, schema.DataIndicator)
+                if msg["data"] == "finished":
+                    self._finished.set()
+            finally:
+                conn.close()
+
+        self.addr, self._srv = _listener(handle)
+        return self.addr
+
+    def wait_finished(self, timeout=60):
+        if not self._finished.wait(timeout):
+            raise TimeoutError("keygen never signalled 'finished'")
+
+    def submit_job(self, cloud_addr, postfix: str,
+                   client_addrs: dict, timeout=600):
+        """SAE with Cloud, send the job, receive + decode the answer."""
+        s = transport.connect_retry(*cloud_addr)
+        s.settimeout(timeout)
+        try:
+            pmk, _ = transport.sae_handshake(s, self.password, self.mac)
+            letters, _ops = scheduler.parse_postfix(postfix)
+            ipfields = {}
+            for i, letter in enumerate(letters):
+                host, port = client_addrs[letter]
+                ipfields[f"ipaddress{i + 1}"] = keywrap.encrypt_bytes(
+                    pmk, f"{letter}={host}:{port}".encode()
+                )
+            opfields = {
+                f"operation{i + 1}": keywrap.encrypt_bytes(
+                    pmk, str(scheduler.OPCODES[c]).encode()
+                )
+                for i, c in enumerate(_ops)
+            }
+            transport.send_msg(
+                s, schema.DataUserInput,
+                {
+                    "ipaddress": ipfields,
+                    "operation": opfields,
+                    "postfix": {
+                        "postfix": keywrap.encrypt_bytes(
+                            pmk, postfix.encode()
+                        )
+                    },
+                },
+            )
+            if not transport.recv_ack(s):
+                raise ConnectionError("job rejected")
+            status = transport.recv_msg(s, schema.DataIndicator)["data"]
+            if status != "answer":
+                raise RuntimeError(status)
+            blob = transport.recv_blob(
+                s,
+                size_schema=schema.DataAnsSize,
+                content_schema=schema.DataAnswer,
+            )
+        finally:
+            s.close()
+        answer = wire.operand_from_bytes(blob)
+        last_op = _ops[-1]
+        return ev.decrypt_answer(
+            self.main_ks, self.nbit_ks, answer,
+            scheduler.OPCODES[last_op],
+        )
+
+    def stop(self):
+        self._srv.close()
+
+
+def _secret_from_blob(blob: bytes) -> SecretKeySet:
+    from ieache_tpu.lwe.types import LweKey, TrlweKey
+
+    params, a, _ = files.loads_container(blob, "secret_keyset")
+    return SecretKeySet(
+        params,
+        LweKey(params, a["lwe_s"].astype(np.int32)),
+        TrlweKey(params, a["trlwe_k"].astype(np.int32)),
+        CloudKeySet(params, a["bk"].astype(np.int32),
+                    a["ks"].astype(np.int32)),
+    )

@@ -1,0 +1,88 @@
+import pytest
+
+from ieache_tpu import params as P
+from ieache_tpu.mp import dragonfly, keywrap, scheduler
+
+
+def test_dragonfly_handshake_derives_same_pmk():
+    a, b = dragonfly.handshake_pair()
+    assert a.pmk == b.pmk
+    assert len(a.pmk) == 32
+    # password element is deterministic per (password, macs)
+    assert a.pe == dragonfly.Peer(
+        dragonfly.DEFAULT_PASSWORD, a.mac_address
+    ).initiate(b.mac_address)
+
+
+def test_dragonfly_wrong_password_fails():
+    mac_a, mac_b = "02:aa", "02:bb"
+    a = dragonfly.Peer("abc1238", mac_a)
+    b = dragonfly.Peer("wrong", mac_b)
+    a.initiate(mac_b)
+    b.initiate(mac_a)
+    sa, ea = a.commit_exchange()
+    sb, eb = b.commit_exchange()
+    ta = a.compute_shared_secret(eb, sb, mac_b)
+    b.compute_shared_secret(ea, sa, mac_a)
+    with pytest.raises(ValueError):
+        b.confirm_exchange(ta)
+
+
+def test_curve_group_law():
+    c = dragonfly.Curve()
+    # toy check on the real curve: 2P + P == 3P, nP on curve
+    p0 = dragonfly.Peer("x", "m1")
+    pe = p0.initiate("m2")
+    p2 = c.add(pe, pe)
+    p3a = c.add(p2, pe)
+    p3b = c.mul(3, pe)
+    assert p3a == p3b
+    assert c.valid(c.mul(12345, pe))
+
+
+def test_keywrap_roundtrip():
+    key = bytes(range(32))
+    for n in [0, 1, 15, 16, 17, 1000, 70000]:
+        data = bytes((i * 7) % 256 for i in range(n))
+        blob = keywrap.encrypt_bytes(key, data)
+        assert keywrap.decrypt_bytes(key, blob) == data
+
+
+def test_scheduler_caps_and_parse():
+    ops, operators = scheduler.parse_postfix("AB+C-")
+    assert ops == ["A", "B", "C"]
+    assert operators == ["+", "-"]
+    with pytest.raises(scheduler.JobError):
+        scheduler.parse_postfix("AB+CD+E+")  # 5 operands
+    with pytest.raises(scheduler.JobError):
+        scheduler.parse_postfix("AB+C-D*")  # 3 operators (wire cap 2)
+
+
+def test_full_flow_two_operand():
+    from ieache_tpu.mp import sim
+
+    res = sim.run_full_flow(
+        "AB+",
+        {"A": [3, 100], "B": [5, 27]},
+        width=8,
+        params=P.TEST_TINY,
+    )
+    assert res.values == [8, 127]
+    assert sorted(res.served_roles) == ["client-1", "client-2",
+                                        "cloud", "output"]
+    assert res.gate_count > 0
+
+
+def test_full_flow_three_operand_chain():
+    """BASELINE config 4: full Client1-3 -> Cloud -> Output flow."""
+    from ieache_tpu.mp import sim
+
+    res = sim.run_full_flow(
+        "AB+C-",
+        {"A": [30, 1], "B": [12, 2], "C": [50, 3]},
+        width=8,
+        params=P.TEST_TINY,
+    )
+    # (30+12)-50 = -8 ; (1+2)-3 = 0
+    assert res.values == [-8, 0]
+    assert len(res.timings) == 2
