@@ -1,0 +1,294 @@
+"""`ieache` command-line interface.
+
+One CLI replacing the reference's per-node binaries and scripts:
+
+    keygen    — generate + export keysets      (C1, Keygen/keygen.c)
+    fixtures  — write values.txt               (C2, Client*/process.c)
+    encrypt   — values.txt -> cloud.data       (C3, Client*/alice.c)
+    cloud     — evaluate one op on 2 operands  (C10, Cloud/cloud.c)
+    verify    — decrypt answer.data            (C11, Output/verif.c)
+    expr      — full in-process expression run (C22, output_dynamic.py)
+    reset     — delete run artifacts           (C25, */reset.py)
+
+Run `python -m ieache_tpu.cli.main <command> --help` for options.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+#: artifacts deleted by `reset` (the union of the three reset.py lists:
+#: Keygen/reset.py, Cloud/reset.py, Output/reset.py)
+RESET_PATTERNS = [
+    "secret.key", "cloud.key", "nbit.key", "values.txt", "cloud.data",
+    "answer.data", "operator.txt", "timings.txt", "averagestandard.txt",
+    "dragonfly.log",
+]
+
+
+def _params(name: str):
+    from ieache_tpu import params as P
+
+    table = {
+        "ieache_110": P.IEACHE_110,
+        "tfhe_compat": P.IEACHE_110_TFHE_COMPAT,
+        "test_tiny": P.TEST_TINY,
+        "test_small_noisy": P.TEST_SMALL_NOISY,
+    }
+    return table[name]
+
+
+def cmd_keygen(args):
+    from ieache_tpu.codec import files
+    from ieache_tpu.lwe import keygen
+
+    p = _params(args.params)
+    t0 = time.time()
+    pair = keygen.generate_gate_keypair(p)
+    dt = time.time() - t0
+    os.makedirs(args.out, exist_ok=True)
+    files.save_secret_keyset(os.path.join(args.out, "secret.key"),
+                             pair.main)
+    files.save_cloud_keyset(os.path.join(args.out, "cloud.key"),
+                            pair.main.cloud)
+    files.save_secret_keyset(os.path.join(args.out, "nbit.key"),
+                             pair.nbit)
+    # keygen.c:53-56 prints its wall clock
+    print(f"Computation Time: {dt:f}[sec]")
+    print(f"wrote secret.key, cloud.key, nbit.key to {args.out}")
+
+
+def cmd_fixtures(args):
+    from ieache_tpu.cli import fixtures
+
+    value = args.value
+    if value is None:
+        value = fixtures.canned_value(args.width, args.negative)
+    fixtures.write_values_txt(args.out, value, args.width)
+    print(f"Wrote a binary value of {value} to {args.out}")
+
+
+def cmd_encrypt(args):
+    from ieache_tpu.cli import fixtures
+    from ieache_tpu.circuits import evaluator as ev
+    from ieache_tpu.codec import files
+    from ieache_tpu.mp import wire
+    from ieache_tpu.utils import prng
+
+    t0 = time.time()
+    main_ks = files.load_secret_keyset(
+        os.path.join(args.keys, "secret.key")
+    )
+    nbit_ks = files.load_secret_keyset(
+        os.path.join(args.keys, "nbit.key")
+    )
+    value, width = fixtures.read_values_txt(args.values)
+    stream = prng.key_from_seed_words([0xA11CE, int(time.time_ns() %
+                                                   2**31)])
+    operand = ev.encrypt_operand(
+        main_ks, nbit_ks, [value], width, stream
+    )
+    blob = wire.operand_to_bytes(operand, main_ks.params, nbit_ks.params)
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    print(f"Computation Time: {time.time() - t0:f}[sec]")
+    print(f"wrote {args.out} ({len(blob)} bytes)")
+
+
+def cmd_cloud(args):
+    import ieache_tpu.boot.bootstrap as boot
+    from ieache_tpu.circuits import evaluator as ev
+    from ieache_tpu.codec import files
+    from ieache_tpu.mp import wire
+
+    cloud_ks = files.load_cloud_keyset(
+        os.path.join(args.keys, "cloud.key")
+    )
+    nbit_ks = files.load_secret_keyset(
+        os.path.join(args.keys, "nbit.key")
+    )
+    with open(args.operand_a, "rb") as f:
+        a = wire.operand_from_bytes(f.read())
+    with open(args.operand_b, "rb") as f:
+        b = wire.operand_from_bytes(f.read())
+
+    # operator.txt carries the opcode (cloud.c:770-773)
+    if args.operator_file:
+        with open(args.operator_file) as f:
+            op = int(f.read().strip())
+    else:
+        op = args.op
+
+    evaluator = ev.CloudEvaluator(
+        boot.pack_cloud_key(cloud_ks), nbit_ks, adder=args.adder
+    )
+    t0 = time.time()
+    try:
+        answer, info = evaluator.compute(op, a, b)
+    except ev.MulWidthError as e:
+        print(str(e))
+        sys.exit(126)  # cloud.c:860-864
+    dt = time.time() - t0
+    print(f"Computation Time: {dt:f}[sec]")
+    with open("averagestandard.txt", "a") as f:  # cloud.c:17,2467-2471
+        f.write(f"{dt:f}\n")
+    blob = wire.operand_to_bytes(answer, cloud_ks.params, nbit_ks.params)
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    print(f"wrote {args.out}: {json.dumps(info)}")
+
+
+def cmd_verify(args):
+    from ieache_tpu.circuits import evaluator as ev
+    from ieache_tpu.codec import files
+    from ieache_tpu.mp import wire
+
+    t0 = time.time()
+    main_ks = files.load_secret_keyset(
+        os.path.join(args.keys, "secret.key")
+    )
+    nbit_ks = files.load_secret_keyset(
+        os.path.join(args.keys, "nbit.key")
+    )
+    with open(args.answer, "rb") as f:
+        answer = wire.operand_from_bytes(f.read())
+    if args.operator_file and os.path.exists(args.operator_file):
+        with open(args.operator_file) as f:
+            op = int(f.read().strip())
+    else:
+        op = args.op
+    values = ev.decrypt_answer(main_ks, nbit_ks, answer, op)
+    print(f"Computation Time: {time.time() - t0:f}[sec]")
+    for v in values:
+        print(f"Answer: {v}")
+
+
+def cmd_expr(args):
+    from ieache_tpu import params as P
+    from ieache_tpu.cli import convert
+    from ieache_tpu.mp import sim
+
+    postfix = convert.to_postfix(args.expression)
+    letters, ops = convert.validate(postfix)
+    if "/" in ops:
+        print("note: '/' maps to multiplication (division is "
+              "unimplemented, as in the reference)")
+    values = {}
+    for letter, v in zip(letters, args.values):
+        values[letter] = [int(v)]
+    if len(values) != len(letters):
+        print(f"need {len(letters)} values for {letters}")
+        sys.exit(1)
+    t0 = time.time()
+    res = sim.run_full_flow(
+        postfix, values, width=args.width, params=_params(args.params),
+        adder=args.adder,
+    )
+    print(f"Postfix Expression: {postfix}")
+    print(f"Answer: {res.values[0]}")
+    print(f"Total Time: {time.time() - t0:.3f}s  "
+          f"(bootstrapped gates: {res.gate_count})")
+    with open("timings.txt", "a") as f:  # output_dynamic.py:736-743
+        f.write(json.dumps({"expr": args.expression,
+                            "timings": res.timings}) + "\n")
+
+
+def cmd_reset(args):
+    removed = []
+    for name in RESET_PATTERNS:
+        path = os.path.join(args.dir, name)
+        if os.path.exists(path):
+            os.remove(path)
+            removed.append(name)
+    for name in os.listdir(args.dir):
+        if name.endswith(".hacklab"):
+            os.remove(os.path.join(args.dir, name))
+            removed.append(name)
+    print(f"removed: {removed or 'nothing'}")
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(
+        prog="ieache",
+        description="TPU-native IE-ACHE: homomorphic integer "
+                    "expressions over TFHE gate bootstrapping",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("keygen", help="generate + export keysets (C1)")
+    p.add_argument("--params", default="ieache_110")
+    p.add_argument("--out", default=".")
+    p.set_defaults(fn=cmd_keygen)
+
+    p = sub.add_parser("fixtures", help="write values.txt (C2)")
+    p.add_argument("--width", type=int, default=32,
+                   choices=[32, 64, 128, 256])
+    p.add_argument("--negative", action="store_true")
+    p.add_argument("--value", type=int, default=None,
+                   help="override the canned 2^(width-2) fixture")
+    p.add_argument("--out", default="values.txt")
+    p.set_defaults(fn=cmd_fixtures)
+
+    p = sub.add_parser("encrypt", help="values.txt -> cloud.data (C3)")
+    p.add_argument("--keys", default=".")
+    p.add_argument("--values", default="values.txt")
+    p.add_argument("--out", default="cloud.data")
+    p.set_defaults(fn=cmd_encrypt)
+
+    p = sub.add_parser("cloud", help="evaluate one op (C10)")
+    p.add_argument("operand_a")
+    p.add_argument("operand_b")
+    p.add_argument("--keys", default=".")
+    p.add_argument("--op", type=int, default=1,
+                   help="1=add 2=sub 4=mul (operator.txt codes)")
+    p.add_argument("--operator-file", default=None)
+    p.add_argument("--adder", default="ripple",
+                   choices=["ripple", "kogge_stone"])
+    p.add_argument("--out", default="answer.data")
+    p.set_defaults(fn=cmd_cloud)
+
+    p = sub.add_parser("verify", help="decrypt answer.data (C11)")
+    p.add_argument("--keys", default=".")
+    p.add_argument("--answer", default="answer.data")
+    p.add_argument("--op", type=int, default=1)
+    p.add_argument("--operator-file", default="operator.txt")
+    p.set_defaults(fn=cmd_verify)
+
+    p = sub.add_parser(
+        "expr", help="full in-process expression run (C22)"
+    )
+    p.add_argument("expression", help='e.g. "A + B - C"')
+    p.add_argument("values", nargs="+", help="one integer per operand")
+    p.add_argument("--width", type=int, default=32)
+    p.add_argument("--params", default="ieache_110")
+    p.add_argument("--adder", default="ripple",
+                   choices=["ripple", "kogge_stone"])
+    p.set_defaults(fn=cmd_expr)
+
+    p = sub.add_parser("reset", help="delete run artifacts (C25)")
+    p.add_argument("--dir", default=".")
+    p.set_defaults(fn=cmd_reset)
+
+    return ap
+
+
+def main(argv=None):
+    # IEACHE_PLATFORM=cpu|tpu forces the JAX backend (plain
+    # JAX_PLATFORMS can be overridden by hardware plugin envs).
+    plat = os.environ.get("IEACHE_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
