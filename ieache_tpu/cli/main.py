@@ -213,6 +213,48 @@ def cmd_reset(args):
     print(f"removed: {removed or 'nothing'}")
 
 
+def cmd_serve(args):
+    """Long-lived role server for multi-host deployments (the
+    systemd/MP.service path; loopback testing uses mp.sim)."""
+    import time as _t
+
+    from ieache_tpu.cli import fixtures
+    from ieache_tpu.mp import nodes
+
+    def addr(s, default_port):
+        host, _, port = s.partition(":")
+        return (host, int(port or default_port))
+
+    port = args.port or (4380 if args.plane == "key" else 4381)
+    if args.role == "keygen":
+        node = nodes.KeygenNode(_params(args.params), args.password)
+        node.start(args.bind, port)
+        print(f"keygen serving on {args.bind}:{port}")
+        while len(node.served) < args.expect_peers:
+            _t.sleep(0.5)
+        node.notify_finished(addr(args.output_addr, 4380))
+        print("finished signal sent; continuing to serve")
+        while True:
+            _t.sleep(3600)
+    elif args.role == "client":
+        node = nodes.ClientNode(args.index, args.password)
+        node.receive_keys(addr(args.keygen_addr, 4380))
+        value = (args.value if args.value is not None
+                 else fixtures.canned_value(args.width))
+        node.set_value([value], args.width)
+        node.start_data_server(args.bind, port)
+        print(f"client-{args.index} serving on {args.bind}:{port}")
+        while True:
+            _t.sleep(3600)
+    else:  # cloud
+        node = nodes.CloudNode(args.password)
+        node.receive_keys(addr(args.keygen_addr, 4380))
+        node.start_job_server(args.bind, port)
+        print(f"cloud serving on {args.bind}:{port}")
+        while True:
+            _t.sleep(3600)
+
+
 def build_parser():
     ap = argparse.ArgumentParser(
         prog="ieache",
@@ -274,6 +316,28 @@ def build_parser():
     p = sub.add_parser("reset", help="delete run artifacts (C25)")
     p.add_argument("--dir", default=".")
     p.set_defaults(fn=cmd_reset)
+
+    p = sub.add_parser(
+        "serve",
+        help="run one protocol role as a long-lived server (C15-C21)",
+    )
+    p.add_argument("--role", required=True,
+                   choices=["keygen", "client", "cloud"])
+    p.add_argument("--plane", default="data", choices=["key", "data"])
+    p.add_argument("--params", default="ieache_110")
+    p.add_argument("--password", default="abc1238")
+    p.add_argument("--bind", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=0,
+                   help="0 = role default (4380 key / 4381 data)")
+    p.add_argument("--keygen-addr", default="192.168.0.3:4380")
+    p.add_argument("--output-addr", default="192.168.0.4:4380")
+    p.add_argument("--index", type=int, default=1,
+                   help="client index (1-3)")
+    p.add_argument("--value", type=int, default=None)
+    p.add_argument("--width", type=int, default=32)
+    p.add_argument("--expect-peers", type=int, default=4,
+                   help="keygen: peers to serve before 'finished'")
+    p.set_defaults(fn=cmd_serve)
 
     return ap
 

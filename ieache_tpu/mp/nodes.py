@@ -148,7 +148,7 @@ class KeygenNode:
         )
         self.served = []
 
-    def start(self):
+    def start(self, host="127.0.0.1", port=0):
         """Key-plane server: Output/clients get secret keys, Cloud gets
         the evaluation key (+ the nbit secret keyset — the reference
         hands Cloud the nbit *secret* key for metadata, SURVEY A)."""
@@ -167,7 +167,7 @@ class KeygenNode:
             finally:
                 conn.close()
 
-        self.addr, self._srv = _listener(handle)
+        self.addr, self._srv = _listener(handle, host, port)
         return self.addr
 
     def notify_finished(self, output_addr):
@@ -220,7 +220,7 @@ class ClientNode:
             self.main_ks, self.nbit_ks, self.values, self.width, stream
         )
 
-    def start_data_server(self):
+    def start_data_server(self, host="127.0.0.1", port=0):
         def handle(conn, peer):
             try:
                 op = self.encrypt_operand()
@@ -231,7 +231,7 @@ class ClientNode:
             finally:
                 conn.close()
 
-        self.addr, self._srv = _listener(handle)
+        self.addr, self._srv = _listener(handle, host, port)
         return self.addr
 
     def stop(self):
@@ -300,7 +300,7 @@ class CloudNode:
 
         return scheduler.walk_postfix(postfix, self._fetch, compute)
 
-    def start_job_server(self):
+    def start_job_server(self, host="127.0.0.1", port=0):
         """Accept a job from Output over SAE; reply with the answer."""
         def handle(conn, peer):
             try:
@@ -346,7 +346,7 @@ class CloudNode:
             finally:
                 conn.close()
 
-        self.addr, self._srv = _listener(handle)
+        self.addr, self._srv = _listener(handle, host, port)
         return self.addr
 
     def stop(self):
@@ -373,7 +373,7 @@ class OutputNode:
         self.main_ks = _secret_from_blob(secret_blob)
         self.nbit_ks = _secret_from_blob(nbit_blob)
 
-    def start_indicator_server(self):
+    def start_indicator_server(self, host="127.0.0.1", port=0):
         def handle(conn, peer):
             try:
                 msg = transport.recv_msg(conn, schema.DataIndicator)
@@ -382,7 +382,7 @@ class OutputNode:
             finally:
                 conn.close()
 
-        self.addr, self._srv = _listener(handle)
+        self.addr, self._srv = _listener(handle, host, port)
         return self.addr
 
     def wait_finished(self, timeout=60):
