@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Batched end-to-end expression benchmark (BASELINE configs 2-5).
+
+Evaluates B parallel 3-operand 16-bit expressions A+B-C (the
+reference's headline `A+B-C` case: 149 s for ONE expression on its
+6-VM deployment, AC058.pdf Fig.7) through the full evaluator
+(metadata, sign dispatch, two ripple adds + two's complement) and
+verifies every decryption.
+
+Env: EB_BATCH (default 256), EB_WIDTH (16), EB_PARAMS (ieache_110),
+EB_ADDER (ripple|kogge_stone), EB_EXPR (add_sub|add_mul).
+Prints one JSON line with expressions/s, bootstraps/s, and per-
+expression latency-equivalents.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax
+
+    from ieache_tpu import params as P
+    from ieache_tpu.codec import files
+    import ieache_tpu.boot.bootstrap as boot
+    from ieache_tpu.circuits import evaluator as ev
+    from ieache_tpu.lwe import keygen
+    from ieache_tpu.utils import prng
+
+    pname = os.environ.get("EB_PARAMS", "ieache_110")
+    p = {"ieache_110": P.IEACHE_110, "test_tiny": P.TEST_TINY,
+         "test_small_noisy": P.TEST_SMALL_NOISY}[pname]
+    batch = int(os.environ.get("EB_BATCH", 256))
+    width = int(os.environ.get("EB_WIDTH", 16))
+    adder = os.environ.get("EB_ADDER", "ripple")
+    expr = os.environ.get("EB_EXPR", "add_sub")
+
+    cache = os.path.join(os.path.dirname(__file__), "..", ".keycache")
+    os.makedirs(cache, exist_ok=True)
+
+    def keyset(seed, tag):
+        path = os.path.join(cache, f"{p.name}_{tag}.iek")
+        if os.path.exists(path):
+            return files.load_secret_keyset(path)
+        ks = keygen.generate_secret_keyset(p, seed)
+        files.save_secret_keyset(path, ks)
+        return ks
+
+    main_ks = keyset(keygen.MAIN_SEED, "")
+    nbit_ks = keyset(keygen.NBIT_SEED, "nbit")
+    # reuse the main cache name for bench.py compat
+    cloud = ev.CloudEvaluator(
+        boot.pack_cloud_key(main_ks.cloud), nbit_ks, adder=adder
+    )
+
+    rng = np.random.RandomState(0)
+    hi = 1 << (width - 2)
+    a_vals = rng.randint(1, hi, batch)
+    b_vals = rng.randint(1, hi, batch)
+    c_vals = rng.randint(1, hi, batch)
+
+    stream = prng.key_from_seed_words([0xE1, batch, width])
+    enc = lambda vals, i: ev.encrypt_operand(  # noqa: E731
+        main_ks, nbit_ks, vals, width, prng.derive(stream, i)
+    )
+    t_enc0 = time.time()
+    a = enc(a_vals, 0)
+    b = enc(b_vals, 1)
+    c = enc(c_vals, 2)
+    t_enc = time.time() - t_enc0
+
+    t0 = time.time()
+    if expr == "add_sub":     # A + B - C
+        ab, _ = cloud.compute(ev.OP_ADD, a, b)
+        ans, _ = cloud.compute(ev.OP_SUB, ab, c)
+        want = [int(x) + int(y) - int(z)
+                for x, y, z in zip(a_vals, b_vals, c_vals)]
+        final_op = ev.OP_SUB
+    else:                     # (A - B) * C  (mul path)
+        ab, _ = cloud.compute(ev.OP_SUB, a, b)
+        ans, _ = cloud.compute(ev.OP_MUL, ab, c)
+        want = [(int(x) - int(y)) * int(z)
+                for x, y, z in zip(a_vals, b_vals, c_vals)]
+        final_op = ev.OP_MUL
+    got = ev.decrypt_answer(main_ks, nbit_ks, ans, final_op)
+    dt = time.time() - t0
+
+    errors = sum(1 for g, w in zip(got, want) if g != w)
+    gates = cloud.gate_count
+    out = {
+        "metric": "expressions_per_sec",
+        "value": round(batch / dt, 3),
+        "unit": "expr/s",
+        "expr": "A+B-C" if expr == "add_sub" else "(A-B)*C",
+        "batch": batch,
+        "width": width,
+        "adder": adder,
+        "seconds_total": round(dt, 2),
+        "seconds_encrypt": round(t_enc, 2),
+        "bootstraps_per_sec": round(gates / dt, 1),
+        "gates": gates,
+        "errors": errors,
+        "vs_reference_149s_per_expr": round((batch / dt) * 149, 1),
+        "params": p.name,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
