@@ -39,8 +39,8 @@ def main():
         batch = int(os.environ.get("BENCH_BATCH", 64))
     else:
         p = P.IEACHE_110
-        batch = int(os.environ.get("BENCH_BATCH", 512))
-    iters = int(os.environ.get("BENCH_ITERS", 4))
+        batch = int(os.environ.get("BENCH_BATCH", 1024))
+    iters = int(os.environ.get("BENCH_ITERS", 6))
 
     cache_dir = os.path.join(os.path.dirname(__file__), ".keycache")
     os.makedirs(cache_dir, exist_ok=True)

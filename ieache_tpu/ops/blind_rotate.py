@@ -120,11 +120,31 @@ def _dot_digits_g(d8: jnp.ndarray, gv: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _use_pallas(params: TFHEParams) -> bool:
+    """Pallas fused kernel on TPU unless IEACHE_PALLAS=0 (or =1 to
+    force it elsewhere); requires the single-limb gadget."""
+    import os
+
+    if params.digit_limbs != 1:
+        return False
+    mode = os.environ.get("IEACHE_PALLAS", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def external_product_step(
     acc: jnp.ndarray, bara_i: jnp.ndarray, bk_i: jnp.ndarray,
     params: TFHEParams,
 ) -> jnp.ndarray:
     """One CMux: acc + BK_i ⊡ (X^bara_i · acc - acc).  Exact mod 2^32."""
+    if _use_pallas(params):
+        from ieache_tpu.ops.pallas_kernels import external_product_pallas
+
+        d8 = _step_digits(acc, bara_i, params).astype(jnp.int8)
+        return acc + external_product_pallas(d8, bk_i, params)
     d = _step_digits(acc, bara_i, params)                  # (B, rows, N)
     g = make_step_gmatrix(bk_i, params)                    # (L, rows, kp1, N, N)
 

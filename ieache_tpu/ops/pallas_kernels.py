@@ -1,0 +1,118 @@
+"""Pallas TPU kernels for the blind-rotation hot loop.
+
+The XLA path (ops/blind_rotate.py) materializes the negacyclic
+Toeplitz expansion of each TRGSW step in HBM (~100 MB of transient
+per step).  This kernel builds each (p, o) Toeplitz tile **in VMEM**
+(log2(N) on-chip rolls of the extended poly) and feeds it straight
+into the MXU, so HBM only ever sees the 48 KB BK step and the digit
+matrix.
+
+Grid: (k+1, rows) with `rows` minor — the output block (B, 1, N) for
+a given `o` stays resident across the consecutive `p` programs, which
+makes the cross-row accumulation valid (zero-init at p == 0).
+
+Only the single-digit-limb gadget (bg_bit <= 8, the default) runs
+here; the two-limb compat gadget falls back to the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ieache_tpu.core.poly import TORUS_LIMBS
+from ieache_tpu.params import TFHEParams
+
+
+def _ext_product_kernel(d_ref, bk_ref, out_ref, tscratch, *, n: int,
+                        chunk: int):
+    """One (o, p) tile: out[o] += digits_p ⊛ bk[p, o].
+
+    The int32 Toeplitz rows are built `chunk` at a time in VMEM
+    (doubling static rolls for the first chunk, then one roll per
+    chunk — Mosaic only rotates 32-bit data), and each chunk's four
+    int8 limbs are peeled arithmetically straight into MXU matmuls.
+    """
+    p = pl.program_id(2)
+
+    @pl.when(p == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    g = bk_ref[0, 0, :, :]                       # (1, N) int32
+    e = jnp.concatenate([-g, g], axis=1)         # (1, 2N) int32
+    d = d_ref[0]                                 # (B, N) int8
+
+    # first chunk: row i = roll(e, i), by doubling
+    tscratch[0:1, :] = e
+    size = 1
+    while size < chunk:
+        tscratch[size:2 * size, :] = pltpu.roll(
+            tscratch[0:size, :], size, axis=1
+        )
+        size *= 2
+
+    for c in range(n // chunk):
+        if c > 0:  # advance all rows by `chunk`: row i -> roll(e, c*chunk+i)
+            tscratch[:, :] = pltpu.roll(tscratch[:, :], chunk, axis=1)
+        x = tscratch[:, n:]                      # (chunk, N) int32
+        dc = d[:, c * chunk:(c + 1) * chunk]     # (B, chunk) int8
+        for v in range(TORUS_LIMBS):
+            s = ((x + 128) & 0xFF) - 128         # balanced limb (exact)
+            x = (x - s) >> 8
+            part = jax.lax.dot_general(
+                dc, s.astype(jnp.int8),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            out_ref[0] += part << (8 * v)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "interpret")
+)
+def external_product_pallas(
+    digits_i8: jnp.ndarray, bk_i: jnp.ndarray, params: TFHEParams,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """digits (B, rows, N) int8 x bk_i (rows, k+1, N) int32
+    -> (B, k+1, N) int32 external product (exact mod 2^32)."""
+    if params.digit_limbs != 1:
+        raise ValueError("pallas path requires single-limb digits")
+    b = digits_i8.shape[0]
+    n, rows, kp1 = params.N, params.trgsw_rows, params.k + 1
+
+    # blocked axes lead (Mosaic wants the last two block dims full)
+    d_t = jnp.transpose(digits_i8, (1, 0, 2))     # (rows, B, N)
+    bk_t = bk_i[:, :, None, :]                    # (rows, kp1, 1, N)
+
+    chunk = min(256, n)
+    bb = b
+    while bb > 1024 or (b % bb):  # batch block: <=1024 and divides B
+        bb //= 2
+    out = pl.pallas_call(
+        functools.partial(_ext_product_kernel, n=n, chunk=chunk),
+        grid=(kp1, b // bb, rows),
+        in_specs=[
+            pl.BlockSpec(
+                (1, bb, n), lambda o, bbi, p: (p, bbi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, n), lambda o, bbi, p: (p, o, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bb, n), lambda o, bbi, p: (o, bbi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((kp1, b, n), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((chunk, 2 * n), jnp.int32)],
+        interpret=interpret,
+    )(d_t, bk_t)
+    return jnp.transpose(out, (1, 0, 2))          # (B, kp1, N)
