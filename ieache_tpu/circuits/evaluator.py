@@ -133,18 +133,26 @@ class CloudEvaluator:
     """Holds the evaluation keys and runs one (op, A, B) computation."""
 
     def __init__(self, main_dck: DeviceCloudKey, nbit_ks: SecretKeySet,
-                 adder: str = "ripple"):
+                 adder: str = "ripple", fused: bool = True):
         self.dck = main_dck
         self.nbit_ks = nbit_ks
         if adder not in ("ripple", "kogge_stone"):
             raise ValueError(adder)
         self.adder = adder
+        #: fused=True evaluates each whole op in one jit dispatch
+        #: (circuits/fused.py) — essential when device dispatch has
+        #: per-call latency; kogge_stone always uses the unfused path.
+        self.fused = fused and adder == "ripple"
         self.gate_count = 0
 
     # -- helpers -----------------------------------------------------------
     def _add(self, x, y, carry_in):
         if self.adder == "kogge_stone":
             s, c = arith.kogge_stone_add(x, y, self.dck, carry_in=carry_in)
+        elif self.fused:
+            from ieache_tpu.circuits import fused as fz
+
+            s, c = fz.ripple_add(x, y, carry_in, self.dck)
         else:
             s, c = arith.ripple_add(x, y, carry_in, self.dck)
         self.gate_count += 5 * x.shape[1] * x.shape[0]
@@ -197,7 +205,12 @@ class CloudEvaluator:
         zero_c = gates.CONSTANT(jnp.zeros((batch,), jnp.int32), n)
 
         if op == OP_MUL:
-            result = arith.schoolbook_mul(av, bv, self.dck, out_width)
+            if self.fused:
+                from ieache_tpu.circuits import fused as fz
+
+                result = fz.schoolbook_mul_fused(av, bv, self.dck)
+            else:
+                result = arith.schoolbook_mul(av, bv, self.dck, out_width)
             self.gate_count += 11 * width * width * batch
         elif (op == OP_ADD and combined in (0, 3)) or (
             op == OP_SUB and combined in (1, 2)

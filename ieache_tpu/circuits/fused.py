@@ -1,0 +1,174 @@
+"""Fused circuit kernels: one jit dispatch per arithmetic op.
+
+The naive circuit layer (circuits/arith.py) issues 3 jitted bootstrap
+calls per adder bit; over a tunneled TPU runtime each dispatch costs
+seconds of synchronous overhead, which dominated the end-to-end
+expression benchmark.  These variants evaluate the *entire* W-bit op
+inside a single jitted program — a `lax.scan` over bit positions whose
+body contains the (batched) gate bootstraps — so the whole add/sub/mul
+is one dispatch and the bootstrap scan body still compiles once.
+
+Gate counts are identical to the unfused versions (the reference's
+5 gates/bit adder, `Cloud/cloud.c:18-51`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ieache_tpu.boot import gates
+from ieache_tpu.boot.bootstrap import MU, DeviceCloudKey
+from ieache_tpu.ops.blind_rotate import blind_rotate
+from ieache_tpu.ops.keyswitch import keyswitch
+import ieache_tpu.boot.bootstrap as boot
+
+
+def _bootstrap_raw(pre: jnp.ndarray, key: DeviceCloudKey) -> jnp.ndarray:
+    """Unjitted bootstrap body (for embedding in larger programs)."""
+    p = key.params
+    n = p.n
+    a, b = pre[:, :n], pre[:, n]
+    bara = boot.mod_switch_2n(a, p)
+    barb = boot.mod_switch_2n(b, p)
+    acc0 = jnp.zeros((pre.shape[0], p.k + 1, p.N), jnp.int32)
+    acc0 = acc0.at[:, p.k, :].set(
+        boot._rotated_test_vector(barb, MU, p)
+    )
+    acc = blind_rotate(acc0, bara, key.bk, p)
+    ext = boot.sample_extract(acc, p)
+    return keyswitch(ext, key.ks_limbs, p)
+
+
+def _adder_bit_step(key: DeviceCloudKey, carry, xs):
+    """One full-adder bit: 5 gates in 3 bootstrap rounds (2B, 2B, B)."""
+    xi, yi = xs
+    b = xi.shape[0]
+    n = key.params.n
+
+    # round 1: axc = x^c, bxc = y^c
+    pre = 2 * jnp.concatenate([xi, yi], 0) + 2 * jnp.concatenate(
+        [carry, carry], 0
+    )
+    pre = pre.at[:, n].add(jnp.int32(2 * MU))
+    both = _bootstrap_raw(pre, key)
+    axc, bxc = both[:b], both[b:]
+
+    # round 2: sum = x^bxc (XOR), g = axc&bxc (AND)
+    pre2_x = jnp.concatenate([2 * xi, axc], 0)
+    pre2_y = jnp.concatenate([2 * bxc, bxc], 0)
+    pre2 = pre2_x + pre2_y
+    beta = jnp.concatenate(
+        [jnp.full((b,), 2 * MU, jnp.int32),
+         jnp.full((b,), -MU, jnp.int32)]
+    )
+    pre2 = pre2.at[:, n].add(beta)
+    mixed = _bootstrap_raw(pre2, key)
+    sum_i, g = mixed[:b], mixed[b:]
+
+    # round 3: c = c ^ g
+    pre3 = 2 * carry + 2 * g
+    pre3 = pre3.at[:, n].add(jnp.int32(2 * MU))
+    carry = _bootstrap_raw(pre3, key)
+    return carry, sum_i
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _ripple_add_fused(x, y, carry_in, key: DeviceCloudKey):
+    xs = (jnp.moveaxis(x, 1, 0), jnp.moveaxis(y, 1, 0))  # (W, B, n+1)
+    carry, sums = jax.lax.scan(
+        functools.partial(_adder_bit_step, key), carry_in, xs
+    )
+    return jnp.moveaxis(sums, 0, 1), carry
+
+
+def ripple_add(x, y, carry_in, key: DeviceCloudKey):
+    """Drop-in fused replacement for arith.ripple_add."""
+    return _ripple_add_fused(x, y, carry_in, key)
+
+
+@jax.jit
+def twos_complement(x, key: DeviceCloudKey):
+    b, w, _ = x.shape
+    n = key.params.n
+    one = gates.CONSTANT(
+        jnp.concatenate(
+            [jnp.ones((b, 1), jnp.int32), jnp.zeros((b, w - 1), jnp.int32)],
+            axis=1,
+        ),
+        n,
+    )
+    zero_c = gates.CONSTANT(jnp.zeros((b,), jnp.int32), n)
+    s, _ = _ripple_add_fused(-x, one, zero_c, key)
+    return s
+
+
+@jax.jit
+def add_then_sub(a, b_, c, key: DeviceCloudKey):
+    """(a + b) - c in ONE dispatch (the reference's A+B-C flow)."""
+    batch = a.shape[0]
+    n = key.params.n
+    zero_c = gates.CONSTANT(jnp.zeros((batch,), jnp.int32), n)
+    one_c = gates.CONSTANT(jnp.ones((batch,), jnp.int32), n)
+    ab, _ = _ripple_add_fused(a, b_, zero_c, key)
+    s, _ = _ripple_add_fused(ab, -c, one_c, key)
+    return s
+
+
+@jax.jit
+def schoolbook_mul_fused(x, y, key: DeviceCloudKey):
+    """W x W -> 2W bit product, one dispatch.
+
+    Round i: AND partials (one B*W bootstrap) + 2W-bit accumulate add
+    (the mul32 pattern, `cloud.c:115-218`), all inside a scan over i.
+    """
+    b, w, m = x.shape
+    n = key.params.n
+    ow = 2 * w
+
+    zero_bit = gates.CONSTANT(jnp.zeros((b,), jnp.int32), n)
+    acc0 = gates.CONSTANT(jnp.zeros((b, ow), jnp.int32), n)
+
+    xf = x.reshape(b * w, m)
+
+    def round_step(carry_acc, yi_and_i):
+        yi, shift_onehot = yi_and_i  # (B, n+1), (W+? ) -- see below
+        acc = carry_acc
+        # partial products: x_k AND y_i
+        pre = xf + jnp.repeat(yi, w, axis=0)
+        pre = pre.at[:, n].add(jnp.int32(-MU))
+        partial = _bootstrap_raw(pre, key).reshape(b, w, m)
+        # place into 2W at offset i via the precomputed one-hot shift:
+        # shifted[j] = partial[j - i] for i <= j < i+W else trivial 0
+        # implemented as a (2W, W) selection matmul on the LWE rows
+        shifted = jnp.einsum(
+            "jw,bwm->bjm", shift_onehot, partial.astype(jnp.int32),
+            preferred_element_type=jnp.int32,
+        )
+        # rows not covered by the one-hot are all-zero LWE vectors;
+        # make them trivial encryptions of 0 (body = -MU) so the adder
+        # sees valid gate encodings (the reference's CONSTANT(0) fill)
+        covered = jnp.sum(shift_onehot, axis=1)          # (2W,)
+        shifted = shifted.at[:, :, n].add(
+            (1 - covered)[None, :] * jnp.int32(-MU)
+        )
+        acc, _ = _ripple_add_fused(acc, shifted, zero_bit, key)
+        return acc, None
+
+    # shift one-hots: for round i, matrix (2W, W) with [i+k, k] = 1
+    eye = jnp.eye(w, dtype=jnp.int32)
+    shift_mats = jnp.stack(
+        [
+            jnp.concatenate(
+                [jnp.zeros((i, w), jnp.int32), eye,
+                 jnp.zeros((ow - w - i, w), jnp.int32)], axis=0
+            )
+            for i in range(w)
+        ]
+    )  # (W, 2W, W)
+
+    ys = jnp.moveaxis(y, 1, 0)  # (W, B, n+1)
+    acc, _ = jax.lax.scan(round_step, acc0, (ys, shift_mats))
+    return acc
