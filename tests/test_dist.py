@@ -41,6 +41,61 @@ def test_sharded_bootstrap_matches_single_device():
     np.testing.assert_array_equal(got, bits)
 
 
+def test_dp_sharded_evaluator_bit_exact():
+    """Full fused expression evaluation with the batch dp-sharded over
+    8 devices agrees bit-for-bit with the single-device run — the
+    placement layer (dist/batch.py) changes no compute path."""
+    from ieache_tpu.circuits import evaluator as ev
+    from ieache_tpu.dist import batch as dbatch
+
+    p = P.TEST_TINY
+    pair = keygen.generate_gate_keypair(p)
+    dck = B.pack_cloud_key(pair.main.cloud)
+
+    rng = np.random.RandomState(7)
+    width, batch = 8, 16
+    a_vals = rng.randint(1, 50, batch)
+    b_vals = rng.randint(1, 50, batch)
+    s = prng.key_from_seed_words([0xD9])
+    a = ev.encrypt_operand(pair.main, pair.nbit, a_vals, width,
+                           prng.derive(s, 0))
+    b = ev.encrypt_operand(pair.main, pair.nbit, b_vals, width,
+                           prng.derive(s, 1))
+
+    cloud = ev.CloudEvaluator(dck, pair.nbit)
+    ref, _ = cloud.compute(ev.OP_ADD, a, b)
+    ref_value = np.asarray(ref.value)
+
+    m = dmesh.make_mesh(8, tp=1)
+    cloud_dp = ev.CloudEvaluator(
+        dbatch.replicate_cloud_key(dck, m), pair.nbit
+    )
+    ans, _ = cloud_dp.compute(
+        ev.OP_ADD, dbatch.shard_operand(a, m), dbatch.shard_operand(b, m)
+    )
+    ans = dbatch.gather_operand(ans)
+    np.testing.assert_array_equal(ans.value, ref_value)
+    got = ev.decrypt_answer(pair.main, pair.nbit, ans, ev.OP_ADD)
+    assert got == [int(x) + int(y) for x, y in zip(a_vals, b_vals)]
+
+
+def test_shard_operand_rejects_uneven_batch():
+    from ieache_tpu.circuits import evaluator as ev
+    from ieache_tpu.dist import batch as dbatch
+
+    p = P.TEST_TINY
+    pair = keygen.generate_gate_keypair(p)
+    s = prng.key_from_seed_words([0xDA])
+    a = ev.encrypt_operand(pair.main, pair.nbit, [1, 2, 3], 8,
+                           prng.derive(s, 0))
+    m = dmesh.make_mesh(8, tp=1)
+    try:
+        dbatch.shard_operand(a, m)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
 def test_sharded_bootstrap_tp4():
     p = P.TEST_TINY
     ks = keygen.generate_secret_keyset(p)

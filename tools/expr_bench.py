@@ -8,7 +8,10 @@ reference's headline `A+B-C` case: 149 s for ONE expression on its
 verifies every decryption.
 
 Env: EB_BATCH (default 256), EB_WIDTH (16), EB_PARAMS (ieache_110),
-EB_ADDER (ripple|kogge_stone), EB_EXPR (add_sub|add_mul).
+EB_ADDER (ripple|kogge_stone), EB_EXPR (add_sub|add_mul),
+EB_DP (default = all devices: shard the batch over a dp mesh —
+EB_BATCH=4096 EB_DP=N is BASELINE config 5, the 4096-expression
+batched multi-chip run; requires dp | batch).
 Prints one JSON line with expressions/s, bootstraps/s, and per-
 expression latency-equivalents.
 """
@@ -24,7 +27,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
-    import jax
+    if os.environ.get("EB_FORCE_CPU"):
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import jax
 
     from ieache_tpu import params as P
     from ieache_tpu.codec import files
@@ -55,9 +67,16 @@ def main():
     main_ks = keyset(keygen.MAIN_SEED, "")
     nbit_ks = keyset(keygen.NBIT_SEED, "nbit")
     # reuse the main cache name for bench.py compat
-    cloud = ev.CloudEvaluator(
-        boot.pack_cloud_key(main_ks.cloud), nbit_ks, adder=adder
-    )
+    dck = boot.pack_cloud_key(main_ks.cloud)
+
+    dp = int(os.environ.get("EB_DP", min(len(jax.devices()), batch)))
+    mesh = None
+    if dp > 1:
+        from ieache_tpu.dist import batch as dbatch, mesh as dmesh
+
+        mesh = dmesh.make_mesh(dp, tp=1)
+        dck = dbatch.replicate_cloud_key(dck, mesh)
+    cloud = ev.CloudEvaluator(dck, nbit_ks, adder=adder)
 
     rng = np.random.RandomState(0)
     hi = 1 << (width - 2)
@@ -73,6 +92,10 @@ def main():
     a = enc(a_vals, 0)
     b = enc(b_vals, 1)
     c = enc(c_vals, 2)
+    if mesh is not None:
+        from ieache_tpu.dist import batch as dbatch
+
+        a, b, c = (dbatch.shard_operand(x, mesh) for x in (a, b, c))
     t_enc = time.time() - t_enc0
 
     t0 = time.time()
@@ -107,6 +130,7 @@ def main():
         "gates": gates,
         "errors": errors,
         "vs_reference_149s_per_expr": round((batch / dt) * 149, 1),
+        "dp": dp,
         "params": p.name,
         "device": str(jax.devices()[0]),
     }
