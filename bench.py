@@ -34,11 +34,16 @@ def main():
     from ieache_tpu.lwe import encrypt, keygen
     from ieache_tpu.utils import prng
 
-    if os.environ.get("BENCH_PARAMS") == "tiny":
+    pname = os.environ.get("BENCH_PARAMS", "fast")
+    if pname == "tiny":
         p = P.TEST_TINY
         batch = int(os.environ.get("BENCH_BATCH", 64))
     else:
-        p = P.IEACHE_110
+        # "fast" (default) = IEACHE_110_FAST: same lambda=110 security
+        # sizes/noise as IEACHE_110, gadget (8,2) instead of (8,3) ->
+        # 1/3 less MXU work; margin validated by tools/margin_probe.py.
+        p = {"fast": P.IEACHE_110_FAST, "l3": P.IEACHE_110,
+             "ieache_110": P.IEACHE_110}[pname]
         batch = int(os.environ.get("BENCH_BATCH", 1024))
     iters = int(os.environ.get("BENCH_ITERS", 6))
 

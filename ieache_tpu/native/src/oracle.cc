@@ -168,6 +168,10 @@ static uint32_t gadget_offset(int base_bit, int levels) {
   uint32_t off = 0;
   for (int j = 0; j < levels; j++)
     off += (uint32_t)(1u << (base_bit - 1)) << (32 - (j + 1) * base_bit);
+  // round-to-nearest of the dropped low bits (mirrors
+  // ops/decompose.py::_offset — zero-mean residual; the truncation
+  // bias couples with the secret key inside each blind-rotation step)
+  if (levels * base_bit < 32) off += 1u << (32 - levels * base_bit - 1);
   return off;
 }
 

@@ -131,6 +131,23 @@ IEACHE_110_TFHE_COMPAT = TFHEParams(
     bg_bit=10, l=2, name="ieache_110_tfhe_compat"
 )
 
+#: Throughput-tuned lambda=110 set: gadget (Bgbit=8, l=2) -> 4 TRGSW
+#: rows instead of 6, i.e. 1/3 less blind-rotation MXU work per gate.
+#: Security is unchanged (n, N, k, noise levels are those of
+#: :data:`IEACHE_110`); only decomposition precision drops 24 -> 16
+#: bits.  Correctness budget: the truncation term grows to
+#: ~1.6e-3 torus stdev (n=500 steps x (1+kN) coefficients x
+#: eps = 2^-17 uniform residue), while the BK-noise term *shrinks*
+#: (4 rows instead of 6) to ~1.4e-3; combined with mod-switch
+#: (~3.2e-3) and keyswitch (~2.5e-3) the output phase stdev is
+#: ~4.6e-3 of the torus -> a ~13.5-sigma margin to the 1/16 failure
+#: threshold at the worst-case (2x) next-gate input, the same regime
+#: as IEACHE_110's ~14 sigma.  Validated empirically on hardware by
+#: ``tools/margin_probe.py``.
+IEACHE_110_FAST = TFHEParams(
+    bg_bit=8, l=2, name="ieache_110_l2"
+)
+
 #: Tiny, *noiseless* parameters for fast unit tests on CPU.  Functional
 #: structure is identical (all the same kernels run); with zero noise the
 #: only error sources are mod-switch and gadget rounding, and n=8/N=64
