@@ -224,7 +224,29 @@ def blind_rotate(
     acc0: (B, k+1, N) int32 — rotated test-vector accumulator.
     bara: (B, n) int32 in [0, 2N) — mod-switched mask coefficients.
     bk:   (n, rows, k+1, N) int32 — bootstrapping key.
+
+    On the Pallas path the scan carry lives in the transposed
+    (k+1, B, N) layout: the rotation/diff/decompose and the external
+    product are two fused VMEM kernels per step with no relayouts in
+    between (the XLA barrel shifter costs ~11 HBM round trips per step
+    otherwise), transposing only once at entry/exit.
     """
+    if _use_pallas(params):
+        from ieache_tpu.ops.pallas_kernels import (
+            external_product_pallas_t,
+            rot_diff_decompose_pallas,
+        )
+
+        def step_t(acc_t, xs):
+            bk_i, bara_i = xs
+            d_t = rot_diff_decompose_pallas(acc_t, bara_i, params)
+            out_t = external_product_pallas_t(d_t, bk_i, params)
+            return acc_t + out_t, None
+
+        acc_t0 = jnp.transpose(acc0, (1, 0, 2))
+        acc_t, _ = jax.lax.scan(step_t, acc_t0, (bk, bara.T))
+        return jnp.transpose(acc_t, (1, 0, 2))
+
     def step(acc, xs):
         bk_i, bara_i = xs
         return external_product_step(acc, bara_i, bk_i, params), None

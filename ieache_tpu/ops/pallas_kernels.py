@@ -81,13 +81,33 @@ def external_product_pallas(
 ) -> jnp.ndarray:
     """digits (B, rows, N) int8 x bk_i (rows, k+1, N) int32
     -> (B, k+1, N) int32 external product (exact mod 2^32)."""
+    out = external_product_pallas_t(
+        jnp.transpose(digits_i8, (1, 0, 2)), bk_i, params,
+        interpret=interpret,
+    )
+    return jnp.transpose(out, (1, 0, 2))          # (B, kp1, N)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "interpret")
+)
+def external_product_pallas_t(
+    d_t: jnp.ndarray, bk_i: jnp.ndarray, params: TFHEParams,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Transposed-layout external product: d_t (rows, B, N) int8 x
+    bk_i (rows, k+1, N) int32 -> (k+1, B, N) int32, exact mod 2^32.
+
+    The (poly, batch, N) layout keeps blocked axes leading (Mosaic
+    wants the last two block dims full/divisible) and lets the blind-
+    rotation scan run transpose-free when paired with
+    :func:`rot_diff_decompose_pallas`.
+    """
     if params.digit_limbs != 1:
         raise ValueError("pallas path requires single-limb digits")
-    b = digits_i8.shape[0]
+    b = d_t.shape[1]
     n, rows, kp1 = params.N, params.trgsw_rows, params.k + 1
 
-    # blocked axes lead (Mosaic wants the last two block dims full)
-    d_t = jnp.transpose(digits_i8, (1, 0, 2))     # (rows, B, N)
     bk_t = bk_i[:, :, None, :]                    # (rows, kp1, 1, N)
 
     chunk = min(256, n)
@@ -115,4 +135,95 @@ def external_product_pallas(
         scratch_shapes=[pltpu.VMEM((chunk, 2 * n), jnp.int32)],
         interpret=interpret,
     )(d_t, bk_t)
-    return jnp.transpose(out, (1, 0, 2))          # (B, kp1, N)
+    return out                                    # (kp1, B, N)
+
+
+def _rot_diff_decompose_kernel(acc_ref, bara_ref, out_ref, *, n: int,
+                               log2_2n: int, bg_bit: int, l: int,
+                               offset: int, kp1: int):
+    """Fused X^bara rotation + diff + gadget decompose, all in VMEM.
+
+    acc_ref:  (kp1, bb, N) int32 — transposed accumulator block
+    bara_ref: (bb, 1) int32 in [0, 2N)
+    out_ref:  (rows, bb, N) int8 — digits, row p = u*l + j (the BK
+              layout consumed by the external-product kernel)
+
+    Replaces the XLA barrel shifter whose 11 roll stages each cost an
+    HBM round trip over the 8 MB accumulator (~0.3 ms/step measured at
+    B=1024 — the whole bootstrap step budget); here the stages are VPU
+    selects over a VMEM-resident block.
+    """
+    x0 = acc_ref[...]
+    amt = bara_ref[...]                            # (bb, 1)
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+
+    x = x0
+    shift = 1
+    for t in range(log2_2n):
+        bit = ((amt >> t) & 1)[None, :, :]         # (1, bb, 1)
+        if shift < n:
+            rolled = pltpu.roll(x, shift, axis=2)
+            rolled = jnp.where(j < shift, -rolled, rolled)
+        else:                                      # X^N == -1
+            rolled = -x
+        x = jnp.where(bit != 0, rolled, x)
+        shift *= 2
+
+    v = (x - x0) + jnp.int32(offset)               # wrapping int32
+    half = 1 << (bg_bit - 1)
+    mask = (1 << bg_bit) - 1
+    for u in range(kp1):
+        vu = v[u]
+        for jl in range(l):
+            sh = 32 - (jl + 1) * bg_bit
+            d = ((vu >> sh) & mask) - half
+            out_ref[u * l + jl] = d.astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "interpret")
+)
+def rot_diff_decompose_pallas(
+    acc_t: jnp.ndarray, bara_i: jnp.ndarray, params: TFHEParams,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """acc_t (k+1, B, N) int32, bara_i (B,) int32 -> digits of
+    (X^bara·acc - acc): (rows, B, N) int8.
+
+    Bit-identical to ``blind_rotate.negacyclic_rotate_batch`` +
+    ``gadget_decompose`` (tests/test_pallas_kernels.py)."""
+    if params.digit_limbs != 1:
+        raise ValueError("pallas path requires single-limb digits")
+    from ieache_tpu.ops.decompose import _offset
+
+    kp1, b, n = acc_t.shape
+    rows = params.trgsw_rows
+
+    off = _offset(params.bg_bit, params.l)
+    if off >= 2**31:                       # as a wrapped int32 constant
+        off -= 2**32
+
+    bb = b
+    while bb > 256 or (b % bb):
+        bb //= 2
+    bb = max(bb, 8)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _rot_diff_decompose_kernel, n=n,
+            log2_2n=params.log2_2N, bg_bit=params.bg_bit, l=params.l,
+            offset=off, kp1=kp1,
+        ),
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec((kp1, bb, n), lambda bi: (0, bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1), lambda bi: (bi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, bb, n), lambda bi: (0, bi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, b, n), jnp.int8),
+        interpret=interpret,
+    )(acc_t, bara_i[:, None])
+    return out

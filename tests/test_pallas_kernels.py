@@ -4,7 +4,11 @@ import jax.numpy as jnp
 from ieache_tpu import params as P
 from ieache_tpu.core import poly
 from ieache_tpu.ops import blind_rotate as br
-from ieache_tpu.ops.pallas_kernels import external_product_pallas
+from ieache_tpu.ops.pallas_kernels import (
+    external_product_pallas,
+    external_product_pallas_t,
+    rot_diff_decompose_pallas,
+)
 from ieache_tpu.utils import prng
 
 
@@ -30,6 +34,73 @@ def test_pallas_external_product_matches_xla():
     for v in range(poly.TORUS_LIMBS):
         out = out + (br._dot_digits_g(jnp.asarray(digits), g[v]) << (8 * v))
     want = np.asarray(out)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_rot_diff_decompose_matches_xla():
+    """Fused rotation+diff+decompose kernel == the XLA barrel shifter
+    + gadget_decompose reference (bit-exact), incl. the transposed
+    digits layout consumed by external_product_pallas_t."""
+    import jax.numpy as jnp2
+
+    p = P.TEST_TINY
+    rng = np.random.RandomState(2)
+    b = 16
+    acc = rng.randint(-2**31, 2**31, (b, p.k + 1, p.N)).astype(np.int32)
+    bara = rng.randint(0, 2 * p.N, (b,)).astype(np.int32)
+
+    got = np.asarray(
+        rot_diff_decompose_pallas(
+            jnp.asarray(np.transpose(acc, (1, 0, 2))),
+            jnp.asarray(bara), p, interpret=True,
+        )
+    )  # (rows, B, N) int8
+
+    want = np.asarray(
+        br._step_digits(jnp.asarray(acc), jnp.asarray(bara), p)
+    ).astype(np.int8)  # (B, rows, N)
+    np.testing.assert_array_equal(got, np.transpose(want, (1, 0, 2)))
+
+    # edge rotations: 0 (identity diff = 0 digits) and N (negation)
+    for amt in (0, p.N, 2 * p.N - 1):
+        bara_e = np.full((b,), amt, np.int32)
+        got_e = np.asarray(
+            rot_diff_decompose_pallas(
+                jnp.asarray(np.transpose(acc, (1, 0, 2))),
+                jnp.asarray(bara_e), p, interpret=True,
+            )
+        )
+        want_e = np.asarray(
+            br._step_digits(jnp.asarray(acc), jnp.asarray(bara_e), p)
+        ).astype(np.int8)
+        np.testing.assert_array_equal(
+            got_e, np.transpose(want_e, (1, 0, 2))
+        )
+
+
+def test_pallas_full_step_transposed_pipeline():
+    """rot_diff_decompose -> external_product_t composition equals
+    the XLA external_product_step (the whole pallas scan body)."""
+    p = P.TEST_TINY
+    rng = np.random.RandomState(3)
+    b = 8
+    acc = rng.randint(-2**31, 2**31, (b, p.k + 1, p.N)).astype(np.int32)
+    bara = rng.randint(0, 2 * p.N, (b,)).astype(np.int32)
+    bk_i = rng.randint(-2**31, 2**31,
+                       (p.trgsw_rows, p.k + 1, p.N)).astype(np.int32)
+
+    acc_t = jnp.asarray(np.transpose(acc, (1, 0, 2)))
+    d_t = rot_diff_decompose_pallas(acc_t, jnp.asarray(bara), p,
+                                    interpret=True)
+    out_t = external_product_pallas_t(d_t, jnp.asarray(bk_i), p,
+                                      interpret=True)
+    got = np.transpose(np.asarray(acc_t + out_t), (1, 0, 2))
+
+    want = np.asarray(
+        br.external_product_step(
+            jnp.asarray(acc), jnp.asarray(bara), jnp.asarray(bk_i), p
+        )
+    )
     np.testing.assert_array_equal(got, want)
 
 

@@ -15,7 +15,8 @@ from ieache_tpu import params as P
 from ieache_tpu.core.poly import TORUS_LIMBS
 from ieache_tpu.ops import blind_rotate as br
 
-p = P.IEACHE_110
+p = {"ieache_110": P.IEACHE_110, "ieache_110_l2": P.IEACHE_110_FAST}[
+    os.environ.get("PARAMS", "ieache_110_l2")]
 B = int(os.environ.get("B", 512))
 STEPS = int(os.environ.get("STEPS", 50))
 rows, kp1, N = p.trgsw_rows, p.k + 1, p.N
@@ -78,6 +79,18 @@ def scan_matmul(d8, g0, acc0):
 
 
 @jax.jit
+def scan_pallas(d8, bks, acc0):
+    """Pallas fused external product only (digits held fixed)."""
+    from ieache_tpu.ops.pallas_kernels import external_product_pallas
+
+    def step(acc, bk_i):
+        acc = acc + external_product_pallas(d8, bk_i, p)
+        return acc, None
+    acc, _ = jax.lax.scan(step, acc0, bks)
+    return jnp.sum(acc)
+
+
+@jax.jit
 def scan_full(acc0, bara, bks):
     def step(acc, xs):
         bk_i, bara_i = xs
@@ -86,9 +99,12 @@ def scan_full(acc0, bara, bks):
     return jnp.sum(acc)
 
 
-print(f"B={B} STEPS={STEPS}", flush=True)
+print(f"B={B} STEPS={STEPS} params={p.name}", flush=True)
 bench("scan: rotate+decompose", scan_rot, acc0, bara)
-bench("scan: G build", scan_build, bks, acc0)
-bench("scan: matmuls only", scan_matmul, d8, g0, acc0)
+if os.environ.get("XLA_PARTS"):
+    bench("scan: G build", scan_build, bks, acc0)
+    bench("scan: matmuls only", scan_matmul, d8, g0, acc0)
+if jax.default_backend() == "tpu":
+    bench("scan: pallas ext-product", scan_pallas, d8, bks, acc0)
 t = bench("scan: full step", scan_full, acc0, bara, bks)
 print(f"-> projected {B/(p.n*t):.1f} bootstraps/s at B={B}")
