@@ -240,8 +240,9 @@ def blind_rotate(
         def step_t(acc_t, xs):
             bk_i, bara_i = xs
             d_t = rot_diff_decompose_pallas(acc_t, bara_i, params)
-            out_t = external_product_pallas_t(d_t, bk_i, params)
-            return acc_t + out_t, None
+            return external_product_pallas_t(
+                d_t, bk_i, params, acc_t=acc_t
+            ), None
 
         acc_t0 = jnp.transpose(acc0, (1, 0, 2))
         acc_t, _ = jax.lax.scan(step_t, acc_t0, (bk, bara.T))

@@ -28,23 +28,41 @@ from ieache_tpu.core.poly import TORUS_LIMBS
 from ieache_tpu.params import TFHEParams
 
 
-def _ext_product_kernel(d_ref, bk_ref, out_ref, tscratch, *, n: int,
-                        chunk: int):
+#: bias making byte_v(x + BIAS) - 128 the v-th *balanced* base-256
+#: limb of x (the serial peel's digits, extracted in parallel):
+#: 0x80808080 as a wrapped int32.
+_LIMB_BIAS = -0x7F7F7F80
+
+
+def _ext_product_kernel(*refs, n: int, chunk: int, fuse_acc: bool):
     """One (o, p) tile: out[o] += digits_p ⊛ bk[p, o].
 
     The int32 Toeplitz rows are built `chunk` at a time in VMEM
     (doubling static rolls for the first chunk, then one roll per
-    chunk — Mosaic only rotates 32-bit data), and each chunk's four
-    int8 limbs are peeled arithmetically straight into MXU matmuls.
+    chunk — Mosaic only rotates 32-bit data).  The rows carry the
+    +0x80808080 limb bias (constant per coefficient, so it commutes
+    with the rolls): limb v is then just ``byte_v - 128``, with no
+    serial peel chain between the four MXU matmuls.
+
+    With ``fuse_acc`` the output block is seeded from the accumulator
+    instead of zeros, so the scan's ``acc + out`` add (3 HBM passes
+    over 8 MB at B=1024) disappears into the kernel.
     """
+    if fuse_acc:
+        d_ref, bk_ref, acc_ref, out_ref, tscratch = refs
+    else:
+        d_ref, bk_ref, out_ref, tscratch = refs
     p = pl.program_id(2)
 
     @pl.when(p == 0)
     def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        if fuse_acc:
+            out_ref[...] = acc_ref[...]
+        else:
+            out_ref[...] = jnp.zeros_like(out_ref)
 
     g = bk_ref[0, 0, :, :]                       # (1, N) int32
-    e = jnp.concatenate([-g, g], axis=1)         # (1, 2N) int32
+    e = jnp.concatenate([-g, g], axis=1) + jnp.int32(_LIMB_BIAS)
     d = d_ref[0]                                 # (B, N) int8
 
     # first chunk: row i = roll(e, i), by doubling
@@ -59,11 +77,10 @@ def _ext_product_kernel(d_ref, bk_ref, out_ref, tscratch, *, n: int,
     for c in range(n // chunk):
         if c > 0:  # advance all rows by `chunk`: row i -> roll(e, c*chunk+i)
             tscratch[:, :] = pltpu.roll(tscratch[:, :], chunk, axis=1)
-        x = tscratch[:, n:]                      # (chunk, N) int32
+        x = tscratch[:, n:]                      # (chunk, N) int32, biased
         dc = d[:, c * chunk:(c + 1) * chunk]     # (B, chunk) int8
         for v in range(TORUS_LIMBS):
-            s = ((x + 128) & 0xFF) - 128         # balanced limb (exact)
-            x = (x - s) >> 8
+            s = ((x >> (8 * v)) & 0xFF) - 128    # balanced limb (exact)
             part = jax.lax.dot_general(
                 dc, s.astype(jnp.int8),
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -93,6 +110,7 @@ def external_product_pallas(
 )
 def external_product_pallas_t(
     d_t: jnp.ndarray, bk_i: jnp.ndarray, params: TFHEParams,
+    acc_t: jnp.ndarray | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Transposed-layout external product: d_t (rows, B, N) int8 x
@@ -102,6 +120,10 @@ def external_product_pallas_t(
     wants the last two block dims full/divisible) and lets the blind-
     rotation scan run transpose-free when paired with
     :func:`rot_diff_decompose_pallas`.
+
+    With ``acc_t`` (k+1, B, N) the kernel returns ``acc_t + product``
+    directly (output block seeded from acc), fusing the CMux
+    accumulator update.
     """
     if params.digit_limbs != 1:
         raise ValueError("pallas path requires single-limb digits")
@@ -109,24 +131,34 @@ def external_product_pallas_t(
     n, rows, kp1 = params.N, params.trgsw_rows, params.k + 1
 
     bk_t = bk_i[:, :, None, :]                    # (rows, kp1, 1, N)
+    fuse_acc = acc_t is not None
 
     chunk = min(256, n)
     bb = b
     while bb > 1024 or (b % bb):  # batch block: <=1024 and divides B
         bb //= 2
+    in_specs = [
+        pl.BlockSpec(
+            (1, bb, n), lambda o, bbi, p: (p, bbi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, 1, n), lambda o, bbi, p: (p, o, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    args = [d_t, bk_t]
+    if fuse_acc:
+        in_specs.append(pl.BlockSpec(
+            (1, bb, n), lambda o, bbi, p: (o, bbi, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        args.append(acc_t)
     out = pl.pallas_call(
-        functools.partial(_ext_product_kernel, n=n, chunk=chunk),
+        functools.partial(_ext_product_kernel, n=n, chunk=chunk,
+                          fuse_acc=fuse_acc),
         grid=(kp1, b // bb, rows),
-        in_specs=[
-            pl.BlockSpec(
-                (1, bb, n), lambda o, bbi, p: (p, bbi, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, 1, n), lambda o, bbi, p: (p, o, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, bb, n), lambda o, bbi, p: (o, bbi, 0),
             memory_space=pltpu.VMEM,
@@ -134,7 +166,7 @@ def external_product_pallas_t(
         out_shape=jax.ShapeDtypeStruct((kp1, b, n), jnp.int32),
         scratch_shapes=[pltpu.VMEM((chunk, 2 * n), jnp.int32)],
         interpret=interpret,
-    )(d_t, bk_t)
+    )(*args)
     return out                                    # (kp1, B, N)
 
 

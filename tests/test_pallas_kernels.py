@@ -92,9 +92,17 @@ def test_pallas_full_step_transposed_pipeline():
     acc_t = jnp.asarray(np.transpose(acc, (1, 0, 2)))
     d_t = rot_diff_decompose_pallas(acc_t, jnp.asarray(bara), p,
                                     interpret=True)
+    # fused-accumulator variant (the scan body)
+    got = np.transpose(np.asarray(
+        external_product_pallas_t(d_t, jnp.asarray(bk_i), p,
+                                  acc_t=acc_t, interpret=True)
+    ), (1, 0, 2))
+    # and it must equal acc + the unfused product
     out_t = external_product_pallas_t(d_t, jnp.asarray(bk_i), p,
                                       interpret=True)
-    got = np.transpose(np.asarray(acc_t + out_t), (1, 0, 2))
+    np.testing.assert_array_equal(
+        got, np.transpose(np.asarray(acc_t + out_t), (1, 0, 2))
+    )
 
     want = np.asarray(
         br.external_product_step(
