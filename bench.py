@@ -42,8 +42,12 @@ def main():
         # "fast" (default) = IEACHE_110_FAST: same lambda=110 security
         # sizes/noise as IEACHE_110, gadget (8,2) instead of (8,3) ->
         # 1/3 less MXU work; margin validated by tools/margin_probe.py.
-        p = {"fast": P.IEACHE_110_FAST, "l3": P.IEACHE_110,
-             "ieache_110": P.IEACHE_110}[pname]
+        choices = {"fast": P.IEACHE_110_FAST, "l3": P.IEACHE_110,
+                   "ieache_110": P.IEACHE_110}
+        if pname not in choices:
+            sys.exit(f"BENCH_PARAMS must be one of "
+                     f"{['tiny', *choices]}, got {pname!r}")
+        p = choices[pname]
         batch = int(os.environ.get("BENCH_BATCH", 1024))
     iters = int(os.environ.get("BENCH_ITERS", 6))
 

@@ -63,6 +63,45 @@ def test_mul_all_sign_cases():
     assert got == [15, 143]
 
 
+def test_widths_differ_takes_max():
+    """Operands with different declared bit counts: result width is
+    max(bit1, bit2) (`cloud.c:832-855`), and the narrower operand's
+    upper bits read as encrypted zeros."""
+    pair, cloud = _setup()
+    s = prng.key_from_seed_words([0x3D])
+    a = ev.encrypt_operand(pair.main, pair.nbit, [200, 90], 8,
+                           prng.derive(s, 0))
+    b = ev.encrypt_operand(pair.main, pair.nbit, [3000, 1500], 12,
+                           prng.derive(s, 1))
+    ans, info = cloud.compute(ev.OP_ADD, a, b)
+    assert info["width"] == 12 and info["out_width"] == 12
+    got = ev.decrypt_answer(pair.main, pair.nbit, ans, ev.OP_ADD)
+    assert got == [3200, 1590]
+
+    # subtraction crossing zero: the answer is two's complement at the
+    # operand width, so |result| must fit width-1 bits — the same
+    # representational bound as the reference (`verif.c:132-166`
+    # reconstructs with the width-w two's-complement heuristic).
+    b2 = ev.encrypt_operand(pair.main, pair.nbit, [1800, 1500], 12,
+                            prng.derive(s, 2))
+    ans, _ = cloud.compute(ev.OP_SUB, a, b2)
+    got = ev.decrypt_answer(pair.main, pair.nbit, ans, ev.OP_SUB)
+    assert got == [200 - 1800, 90 - 1500]
+
+
+def test_mul_widths_differ_doubles_max():
+    pair, cloud = _setup()
+    s = prng.key_from_seed_words([0x3E])
+    a = ev.encrypt_operand(pair.main, pair.nbit, [9, 13], 4,
+                           prng.derive(s, 0))
+    b = ev.encrypt_operand(pair.main, pair.nbit, [200, 3], 8,
+                           prng.derive(s, 1))
+    ans, info = cloud.compute(ev.OP_MUL, a, b)
+    assert info["out_width"] == 16
+    got = ev.decrypt_answer(pair.main, pair.nbit, ans, ev.OP_MUL)
+    assert got == [1800, 39]
+
+
 def test_mul_256bit_rejected():
     pair, cloud = _setup()
     s = prng.key_from_seed_words([1])
