@@ -147,15 +147,17 @@ class CloudEvaluator:
 
     # -- helpers -----------------------------------------------------------
     def _add(self, x, y, carry_in):
+        per_bit = 5
         if self.adder == "kogge_stone":
             s, c = arith.kogge_stone_add(x, y, self.dck, carry_in=carry_in)
         elif self.fused:
             from ieache_tpu.circuits import fused as fz
 
             s, c = fz.ripple_add(x, y, carry_in, self.dck)
+            per_bit = fz.ADDER_BOOTSTRAPS_PER_BIT[fz.adder_mode()]
         else:
             s, c = arith.ripple_add(x, y, carry_in, self.dck)
-        self.gate_count += 5 * x.shape[1] * x.shape[0]
+        self.gate_count += per_bit * x.shape[1] * x.shape[0]
         return s, c
 
     def _twos(self, x):
@@ -209,9 +211,12 @@ class CloudEvaluator:
                 from ieache_tpu.circuits import fused as fz
 
                 result = fz.schoolbook_mul_fused(av, bv, self.dck)
+                pb = fz.ADDER_BOOTSTRAPS_PER_BIT[fz.adder_mode()]
             else:
                 result = arith.schoolbook_mul(av, bv, self.dck, out_width)
-            self.gate_count += 11 * width * width * batch
+                pb = 5
+            # W rounds x (W AND partials + one 2W-bit add at pb/bit)
+            self.gate_count += (1 + 2 * pb) * width * width * batch
         elif (op == OP_ADD and combined in (0, 3)) or (
             op == OP_SUB and combined in (1, 2)
         ):

@@ -8,8 +8,11 @@ inside a single jitted program — a `lax.scan` over bit positions whose
 body contains the (batched) gate bootstraps — so the whole add/sub/mul
 is one dispatch and the bootstrap scan body still compiles once.
 
-Gate counts are identical to the unfused versions (the reference's
-5 gates/bit adder, `Cloud/cloud.c:18-51`).
+Two adder circuits are available (IEACHE_ADDER, default ``maj2``):
+``ref5`` replicates the reference's 5-gate/bit full adder
+(`Cloud/cloud.c:18-51`, 3 bootstrap rounds/bit); ``maj2`` computes the
+same truth table in 2 bootstraps/bit (majority-vote carry + parity
+fix-up) — 2.5x fewer bootstraps, margin-validated on hardware.
 """
 
 from __future__ import annotations
@@ -75,18 +78,56 @@ def _adder_bit_step(key: DeviceCloudKey, carry, xs):
     return carry, sum_i
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _ripple_add_fused(x, y, carry_in, key: DeviceCloudKey):
+def _adder_bit_step_maj2(key: DeviceCloudKey, carry, xs):
+    """One full-adder bit in TWO bootstraps (vs the reference's 5-gate
+    3-round circuit, `cloud.c:18-51` — same truth table, 2.5x fewer
+    bootstraps):
+
+        carry' = sign(x + y + c)                 (majority vote)
+        sum    = sign(x + y + c - 2*carry')      (parity fix-up)
+
+    Phases: x+y+c ∈ {±3μ, ±μ} so its sign IS the majority; subtracting
+    2·(±μ) folds the four cases onto ±μ with the right parity.  Noise
+    of the second combo is sqrt(3σ_in² + 4σ_boot²) ≈ 2.6σ_boot —
+    inside the same margin regime as the XOR combo's 2√2 factor
+    (tools/margin_probe.py measures >7σ).
+    """
+    xi, yi = xs
+    pre = xi + yi + carry                  # {±3μ, ±μ}: sign = majority
+    carry_new = _bootstrap_raw(pre, key)
+    sum_i = _bootstrap_raw(pre - 2 * carry_new, key)
+    return carry_new, sum_i
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def _ripple_add_fused(x, y, carry_in, key: DeviceCloudKey,
+                      mode: str = "maj2"):
     xs = (jnp.moveaxis(x, 1, 0), jnp.moveaxis(y, 1, 0))  # (W, B, n+1)
+    step = _adder_bit_step_maj2 if mode == "maj2" else _adder_bit_step
     carry, sums = jax.lax.scan(
-        functools.partial(_adder_bit_step, key), carry_in, xs
+        functools.partial(step, key), carry_in, xs
     )
     return jnp.moveaxis(sums, 0, 1), carry
 
 
-def ripple_add(x, y, carry_in, key: DeviceCloudKey):
+#: bootstraps per adder bit, by mode (evaluator gate accounting)
+ADDER_BOOTSTRAPS_PER_BIT = {"maj2": 2, "ref5": 5}
+
+
+def adder_mode() -> str:
+    """Fused adder circuit: IEACHE_ADDER=ref5 selects the reference's
+    5-gate full adder; default maj2 (2 bootstraps/bit)."""
+    import os
+
+    mode = os.environ.get("IEACHE_ADDER", "maj2")
+    if mode not in ADDER_BOOTSTRAPS_PER_BIT:
+        raise ValueError(f"IEACHE_ADDER must be maj2|ref5, got {mode!r}")
+    return mode
+
+
+def ripple_add(x, y, carry_in, key: DeviceCloudKey, mode: str | None = None):
     """Drop-in fused replacement for arith.ripple_add."""
-    return _ripple_add_fused(x, y, carry_in, key)
+    return _ripple_add_fused(x, y, carry_in, key, mode or adder_mode())
 
 
 @jax.jit
@@ -101,7 +142,7 @@ def twos_complement(x, key: DeviceCloudKey):
         n,
     )
     zero_c = gates.CONSTANT(jnp.zeros((b,), jnp.int32), n)
-    s, _ = _ripple_add_fused(-x, one, zero_c, key)
+    s, _ = _ripple_add_fused(-x, one, zero_c, key, adder_mode())
     return s
 
 
@@ -112,8 +153,9 @@ def add_then_sub(a, b_, c, key: DeviceCloudKey):
     n = key.params.n
     zero_c = gates.CONSTANT(jnp.zeros((batch,), jnp.int32), n)
     one_c = gates.CONSTANT(jnp.ones((batch,), jnp.int32), n)
-    ab, _ = _ripple_add_fused(a, b_, zero_c, key)
-    s, _ = _ripple_add_fused(ab, -c, one_c, key)
+    mode = adder_mode()
+    ab, _ = _ripple_add_fused(a, b_, zero_c, key, mode)
+    s, _ = _ripple_add_fused(ab, -c, one_c, key, mode)
     return s
 
 
@@ -154,7 +196,8 @@ def schoolbook_mul_fused(x, y, key: DeviceCloudKey):
         shifted = shifted.at[:, :, n].add(
             (1 - covered)[None, :] * jnp.int32(-MU)
         )
-        acc, _ = _ripple_add_fused(acc, shifted, zero_bit, key)
+        acc, _ = _ripple_add_fused(acc, shifted, zero_bit, key,
+                                   adder_mode())
         return acc, None
 
     # shift one-hots: for round i, matrix (2W, W) with [i+k, k] = 1

@@ -26,11 +26,27 @@ def encrypt_bits(keyset: SecretKeySet, bits, stream_key) -> np.ndarray:
     `stream_key` is a prng key; sample r of the flattened batch uses
     sub-stream derive(stream_key, r) with mask at derive(sub, 0) and
     noise at derive(sub, 1)  (normative; mirrored by the C++ oracle).
+
+    Large batches route to the device implementation on TPU (the host
+    NumPy threefry costs ~60 s per 256k-encryption operand word —
+    IEACHE_DEVICE_ENCRYPT=0/1 overrides the auto choice; both paths
+    are bit-identical, tests/test_lwe.py).  The routed result is a
+    *device* array (np.asarray it for a host copy); the host path
+    returns np.ndarray.
     """
     p = keyset.params
     bits = np.asarray(bits)
     flat = bits.reshape(-1).astype(np.int64)
     r = flat.shape[0]
+
+    import os
+
+    mode = os.environ.get("IEACHE_DEVICE_ENCRYPT", "auto")
+    if mode != "0" and (
+        mode == "1"
+        or (r >= 4096 and _default_backend_is_tpu())
+    ):
+        return encrypt_bits_device(keyset, bits, stream_key)
 
     row_keys = prng.derive_multi(stream_key, np.arange(r))
 
@@ -50,6 +66,70 @@ def encrypt_bits(keyset: SecretKeySet, bits, stream_key) -> np.ndarray:
     with np.errstate(over="ignore"):
         b = (a @ s + mu + e).astype(np.int32)
     out = np.concatenate([a, b[:, None]], axis=1)
+    return out.reshape(bits.shape + (p.n + 1,))
+
+
+def _default_backend_is_tpu() -> bool:
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+_DEVICE_ENCRYPT_FNS: dict = {}
+
+
+def _device_encrypt_fn(params):
+    """One jitted program per parameter set: a single device dispatch
+    per encrypt call (eager jnp would pay the tunnel's ~1 s/op)."""
+    fn = _DEVICE_ENCRYPT_FNS.get(params)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+        from ieache_tpu.lwe.keygen_device import (
+            _jbinomial_multi, _jbits_multi, _jderive, _limb_matmul_i32,
+        )
+
+        n = params.n
+        scale = params.lwe_noise_scale
+        noise_bits = params.noise_bits
+
+        @jax.jit
+        def fn(k0, k1, flat, s8):
+            keys = (k0, k1)
+            a = _jbits_multi(_jderive(keys, 0), n).astype(jnp.int32)
+            e = _jbinomial_multi(
+                _jderive(keys, 1), 1, scale, noise_bits
+            )[:, 0]
+            mu = jnp.where(flat != 0, MU, jnp.int32(-MU))
+            b = _limb_matmul_i32(a, s8)[:, 0] + mu + e
+            return jnp.concatenate([a, b[:, None]], axis=1)
+
+        _DEVICE_ENCRYPT_FNS[params] = fn
+    return _DEVICE_ENCRYPT_FNS[params]
+
+
+def encrypt_bits_device(keyset: SecretKeySet, bits, stream_key) -> np.ndarray:
+    """Device (jnp) twin of :func:`encrypt_bits` — same normative
+    threefry stream layout, bit-identical output; the threefry mask
+    generation and the exact a·s contraction run on the accelerator
+    (int8-limb matmuls, as in keygen_device) in one jitted dispatch."""
+    p = keyset.params
+    bits = np.asarray(bits)
+    flat = bits.reshape(-1)
+    r = flat.shape[0]
+
+    rk = prng.derive_multi(stream_key, np.arange(r))
+    out = _device_encrypt_fn(p)(
+        rk[0].astype(np.uint32), rk[1].astype(np.uint32),
+        flat.astype(np.int32), keyset.lwe_key.s.astype(np.int8)[:, None],
+    )
+    # stays a device array: the consumer is the on-device evaluator,
+    # and a (B, 256, n+1) operand word is ~0.5 GB — pulling it to host
+    # just to push it back costs ~25 s each way over the tunnel.
+    # np.asarray(result) materializes when a host copy is needed.
     return out.reshape(bits.shape + (p.n + 1,))
 
 

@@ -38,6 +38,30 @@ def test_fused_ripple_add():
     ]
 
 
+def test_adder_modes_exhaustive():
+    """maj2 and ref5 adder circuits: all 8 (x, y, carry) combinations
+    per bit, multi-bit carry propagation, identical results."""
+    ks, dck = _setup()
+    n = ks.params.n
+    # all 4 (x, y) pairs at every bit + long carry chains
+    a = [0b1111, 0b1010, 0b0110, 0b0001]
+    b = [0b0001, 0b0101, 0b0110, 0b1111]
+    ca = _enc(ks, a, 4, 21)
+    cb = _enc(ks, b, 4, 22)
+    for cin in (0, 1):
+        cc = gates.CONSTANT(jnp.full((4,), cin, jnp.int32), n)
+        want = [(x + y + cin) & 0xF for x, y in zip(a, b)]
+        for mode in ("maj2", "ref5"):
+            s, cout = fused.ripple_add(ca, cb, cc, dck, mode=mode)
+            assert words.decrypt_word(ks, s) == want, mode
+            # carry-out of 0b1111 + 0b0001 (+cin) must be 1
+            from ieache_tpu.lwe import encrypt
+
+            co = encrypt.decrypt_bits(ks, np.asarray(cout))
+            want_co = [(x + y + cin) >> 4 for x, y in zip(a, b)]
+            np.testing.assert_array_equal(co, want_co), mode
+
+
 def test_fused_twos_complement_and_chain():
     ks, dck = _setup()
     vals = [0, 3, 200, 255]

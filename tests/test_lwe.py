@@ -31,6 +31,22 @@ def test_encrypt_decrypt_roundtrip():
     np.testing.assert_array_equal(encrypt.decrypt_bits(ks, ct), bits)
 
 
+def test_encrypt_device_bit_identical_to_host():
+    """encrypt_bits_device == host encrypt_bits array-for-array (both
+    follow the normative threefry stream layout), at noisy params and
+    across the auto-routing threshold."""
+    p = P.TEST_SMALL_NOISY
+    ks = keygen.generate_secret_keyset(p)
+    stream = prng.key_from_seed_words([0xD1])
+    bits = prng.uniform_bits01(prng.derive(stream, 0), 8192).reshape(
+        64, 128
+    )
+    host = encrypt.encrypt_bits(ks, bits, prng.derive(stream, 1))
+    dev = encrypt.encrypt_bits_device(ks, bits, prng.derive(stream, 1))
+    np.testing.assert_array_equal(dev, host)
+    np.testing.assert_array_equal(encrypt.decrypt_bits(ks, dev), bits)
+
+
 def test_encrypt_decrypt_roundtrip_noisy():
     p = P.TEST_SMALL_NOISY
     ks = keygen.generate_secret_keyset(p)

@@ -48,7 +48,8 @@ def main():
     from ieache_tpu.codec import files
 
     pname = os.environ.get("SB_PARAMS", "test_small_noisy")
-    p = {"ieache_110": P.IEACHE_110, "test_tiny": P.TEST_TINY,
+    p = {"ieache_110": P.IEACHE_110, "ieache_110_l2": P.IEACHE_110_FAST,
+         "test_tiny": P.TEST_TINY,
          "test_small_noisy": P.TEST_SMALL_NOISY}[pname]
     per_chip = int(os.environ.get("SB_BATCH_PER_CHIP", 256))
     iters = int(os.environ.get("SB_ITERS", 4))
