@@ -125,7 +125,7 @@ def encrypt_operand(
 
 
 def _decrypt_meta_value(nbit_ks: SecretKeySet, word) -> np.ndarray:
-    bits = encrypt.decrypt_bits(nbit_ks, np.asarray(word))
+    bits = encrypt.decrypt_bits(nbit_ks, word)
     return np.asarray(words.bits_to_values(bits), np.int64)
 
 
@@ -253,13 +253,13 @@ class CloudEvaluator:
             )
         )
 
-        # pad result limbs to 8 slots with copies of the carry word
-        # (the cloud cannot encrypt under the main key: cloud.c:899-916)
-        pads = (VALUE_SLOTS * 32 - out_width) // 32
-        value = jnp.concatenate(
-            [result] + [a.carry_word] * pads, axis=1
-        )
-        answer = Operand(neg_word, bit_word, value, a.carry_word)
+        # the answer's value carries exactly out_width bits in memory;
+        # the 8-slot carry-copy padding of the reference's answer file
+        # (cloud.c:899-916) is applied lazily at the wire/file boundary
+        # (mp/wire.operand_to_bytes) — padding here costs a ~0.5 GB
+        # device concatenation per compute for nothing: both chaining
+        # and decryption slice value[:, :width].
+        answer = Operand(neg_word, bit_word, result, a.carry_word)
         info = {
             "op": op,
             "width": width,

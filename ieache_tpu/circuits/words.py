@@ -43,12 +43,12 @@ def encrypt_word(ks: SecretKeySet, values, width: int, stream) -> jnp.ndarray:
 
 def decrypt_word(ks: SecretKeySet, word) -> list:
     """(B, W, n+1) -> python ints (unsigned)."""
-    return bits_to_values(encrypt.decrypt_bits(ks, np.asarray(word)))
+    return bits_to_values(encrypt.decrypt_bits(ks, word))
 
 
 def decrypt_word_signed(ks: SecretKeySet, word) -> list:
     """Two's-complement interpretation over the word width."""
-    bits = encrypt.decrypt_bits(ks, np.asarray(word))
+    bits = encrypt.decrypt_bits(ks, word)
     w = bits.shape[1]
     vals = bits_to_values(bits)
     return [v - (1 << w) if v >= (1 << (w - 1)) else v for v in vals]

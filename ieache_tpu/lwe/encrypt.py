@@ -134,7 +134,13 @@ def encrypt_bits_device(keyset: SecretKeySet, bits, stream_key) -> np.ndarray:
 
 
 def decrypt_bits(keyset: SecretKeySet, lwe) -> np.ndarray:
-    """Decrypt LWE batch (..., n+1) -> bit array (...,) of int32 {0,1}."""
+    """Decrypt LWE batch (..., n+1) -> bit array (...,) of int32 {0,1}.
+
+    Device-resident ciphertexts decrypt on device (only the bit array
+    crosses the host boundary — a (B, 256)-word ciphertext is ~0.5 GB,
+    its bits 1 MB)."""
+    if _is_device_array(lwe) and lwe.size >= 4096 * 501:
+        return decrypt_bits_device(keyset, lwe)
     p = keyset.params
     lwe = np.asarray(lwe, np.int32)
     a = lwe[..., : p.n]
@@ -143,6 +149,43 @@ def decrypt_bits(keyset: SecretKeySet, lwe) -> np.ndarray:
     with np.errstate(over="ignore"):
         phase = (b - a @ s).astype(np.int32)
     return (phase > 0).astype(np.int32)
+
+
+def _is_device_array(x) -> bool:
+    try:
+        import jax
+
+        return isinstance(x, jax.Array) and _default_backend_is_tpu()
+    except Exception:  # pragma: no cover
+        return False
+
+
+_DEVICE_DECRYPT_FNS: dict = {}
+
+
+def decrypt_bits_device(keyset: SecretKeySet, lwe) -> np.ndarray:
+    """Device twin of :func:`decrypt_bits` (bit-identical)."""
+    p = keyset.params
+    fn = _DEVICE_DECRYPT_FNS.get(p)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+        from ieache_tpu.lwe.keygen_device import _limb_matmul_i32
+
+        n = p.n
+
+        @jax.jit
+        def fn(flat, s8):
+            a, b = flat[:, :n], flat[:, n]
+            phase = b - _limb_matmul_i32(a, s8)[:, 0]
+            return (phase > 0).astype(jnp.int32)
+
+        _DEVICE_DECRYPT_FNS[p] = fn
+    import jax.numpy as jnp
+
+    flat = jnp.reshape(lwe, (-1, p.n + 1))
+    out = fn(flat, keyset.lwe_key.s.astype(np.int8)[:, None])
+    return np.asarray(out).reshape(lwe.shape[:-1])
 
 
 def phase_of(keyset: SecretKeySet, lwe) -> np.ndarray:

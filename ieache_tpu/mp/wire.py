@@ -24,8 +24,18 @@ def operand_to_bytes(op: Operand, main_params: TFHEParams,
     nbit_words = np.concatenate(
         [np.asarray(op.neg_word), np.asarray(op.bit_word)], axis=1
     )  # (B, 64, n_nbit+1)
+    value = np.asarray(op.value)
+    carry = np.asarray(op.carry_word)
+    slots = 8 * 32
+    if value.shape[1] < slots:
+        # the reference pads the answer file to 8 value slots with
+        # copies of the carry word (cloud.c:899-916) — applied here,
+        # at the wire boundary (in memory answers carry out_width bits)
+        pads = -(-(slots - value.shape[1]) // 32)
+        value = np.concatenate([value] + [carry] * pads, axis=1)
+        value = value[:, :slots]
     main_words = np.concatenate(
-        [np.asarray(op.value), np.asarray(op.carry_word)], axis=1
+        [value, carry], axis=1
     )  # (B, 288, n_main+1)
     return files.dumps_container(
         main_params,
