@@ -61,18 +61,24 @@ def recv_msg(sock: socket.socket, sch: dict) -> dict:
 
 
 def send_ack(sock: socket.socket, ok: bool = True) -> None:
-    sock.sendall(ACK_OK if ok else ACK_FAIL)
+    """Length-framed stop-and-wait ack.
+
+    The reference sends a bare unframed ``b"success"`` and reads it
+    with a fixed-size ``recv`` (`dragonfly_cipher_client.py:100-117`)
+    — if TCP coalesces the ack with the peer's next TLV the extra
+    bytes are swallowed and the stream desyncs.  We frame the ack as a
+    BER ``DataIndicator`` TLV instead, so `recv_ack` consumes exactly
+    one message no matter how segments coalesce.
+    """
+    send_msg(
+        sock, schema.DataIndicator,
+        {"data": (ACK_OK if ok else ACK_FAIL).decode()},
+    )
 
 
 def recv_ack(sock: socket.socket) -> bool:
-    return _recv_ack_flexible(sock)
-
-
-def _recv_ack_flexible(sock: socket.socket) -> bool:
-    data = sock.recv(16)
-    if not data:
-        raise ConnectionError("socket closed awaiting ack")
-    return data.startswith(ACK_OK)
+    data = recv_msg(sock, schema.DataIndicator)["data"]
+    return data == ACK_OK.decode()
 
 
 def connect_retry(host: str, port: int, retries: int = 50,
@@ -105,7 +111,7 @@ def send_blob(sock: socket.socket, data: bytes, chunk: int = 1024,
     while off < len(data):
         part = data[off:off + chunk]
         send_msg(sock, content_schema, {"data": part})
-        if _recv_ack_flexible(sock):
+        if recv_ack(sock):
             off += len(part)
         # on nack: offset unchanged -> resend (sender-side rewind,
         # dragonfly_cipher_client.py:100-117)

@@ -122,10 +122,14 @@ def _dot_digits_g(d8: jnp.ndarray, gv: jnp.ndarray) -> jnp.ndarray:
 
 def _use_pallas(params: TFHEParams) -> bool:
     """Pallas fused kernel on TPU unless IEACHE_PALLAS=0 (or =1 to
-    force it elsewhere); requires the single-limb gadget."""
+    force it elsewhere); requires the single-limb gadget and a
+    lane-tileable polynomial degree: with N < 128 (TEST_TINY) the
+    kernels' static lane rolls act on Mosaic's padding lanes and
+    silently corrupt the accumulator — measured on hardware as wrong
+    expr answers at test_tiny while N=1024 is bit-exact."""
     import os
 
-    if params.digit_limbs != 1:
+    if params.digit_limbs != 1 or params.N % 128 != 0:
         return False
     mode = os.environ.get("IEACHE_PALLAS", "auto")
     if mode == "0":

@@ -104,6 +104,27 @@ def test_sae_wrong_password_fails():
     b.close()
 
 
+def test_ack_coalesced_with_next_tlv():
+    """An ack and the following message delivered in ONE TCP segment
+    must not desync the stream (the reference's unframed 7-byte
+    ``b"success"`` ack read with ``recv(16)`` would swallow the start
+    of the next TLV, `dragonfly_cipher_client.py:100-117`)."""
+    a, b = _pair()
+    # peer sends ack + its next request back-to-back in one sendall
+    ack = ber.encode_message(schema.DataIndicator, {"data": "success"})
+    nxt = ber.encode_message(schema.DataFsize, {"data": 4242})
+    a.sendall(ack + nxt)
+    assert transport.recv_ack(b) is True
+    assert transport.recv_msg(b, schema.DataFsize)["data"] == 4242
+    # nack coalesced with a retransmission attempt marker
+    nack = ber.encode_message(schema.DataIndicator, {"data": "fail"})
+    a.sendall(nack + ack)
+    assert transport.recv_ack(b) is False
+    assert transport.recv_ack(b) is True
+    a.close()
+    b.close()
+
+
 def test_recv_tlv_long_form():
     a, b = _pair()
     payload = b"z" * 70000
