@@ -170,27 +170,44 @@ class CloudEvaluator:
 
     # -- the dispatch ------------------------------------------------------
     def compute(self, op: int, a: Operand, b: Operand):
-        """Returns (answer Operand, info dict) — `cloud.c:650-2720`."""
+        """Returns (answer Operand, info dict) — `cloud.c:650-2720`.
+
+        Sign handling is **per lane**: the reference evaluates one
+        expression per ./cloud run and branches on its (op, signs) case
+        (`cloud.c:870,1194,2368`); a batch here may mix sign
+        combinations.  Because negativity metadata is cleartext to the
+        evaluator by design, lane dataflow selection is a host-side
+        `jnp.where` over the three add/sub dataflows:
+
+            X + Y            (magnitude add)
+            X + NOT(Y) + 1   (two's-complement subtract)
+
+        with the operand swap and the ``+1`` riding the adder's
+        per-lane carry-in — every lane is correct and the whole batch
+        still runs as ONE fused adder dispatch (zero extra bootstraps;
+        in fact one fewer add than the reference's NOT-then-add-one-
+        then-add two's complement, `cloud.c:1225-1245`).
+        """
         nbit = self.nbit_ks
         neg1 = _decrypt_meta_value(nbit, a.neg_word)
         neg2 = _decrypt_meta_value(nbit, b.neg_word)
         bit1 = _decrypt_meta_value(nbit, a.bit_word)
         bit2 = _decrypt_meta_value(nbit, b.bit_word)
 
-        # codes must agree across the batch (one dispatch per run,
-        # like one ./cloud invocation)
-        neg1 = int(neg1[0])
-        neg2 = int(neg2[0])
+        for negs in (neg1, neg2):
+            bad = set(negs.tolist()) - {0, 1, 2, 4}
+            if bad:
+                raise ValueError(f"invalid negativity codes: {bad}")
         width = int(max(bit1.max(), bit2.max()))
 
         # cloud.c:787-804: combined negativity in {0,1,2,3}
         # (0 = none, 1 = A negative, 2 = B negative, 3 = both).
         # Operand codes: 2 from clients (process.c:80-93); 1/2/4 when a
         # chained answer is fed back as an operand — normalize both.
-        n1 = 1 if neg1 in (1, 2, 4) else 0
-        n2 = 1 if neg2 in (1, 2, 4) else 0
-        combined = n1 + 2 * n2
-        answer_code = {0: 0, 1: 1, 2: 2, 3: 4}[combined]
+        n1 = np.isin(neg1, (1, 2, 4)).astype(np.int64)
+        n2 = np.isin(neg2, (1, 2, 4)).astype(np.int64)
+        combined = n1 + 2 * n2                       # (B,) in {0..3}
+        answer_codes = np.array([0, 1, 2, 4])[combined]
 
         out_width = width
         if op == OP_MUL:
@@ -204,9 +221,9 @@ class CloudEvaluator:
         n = self.dck.params.n
         av = a.value[:, :width, :]
         bv = b.value[:, :width, :]
-        zero_c = gates.CONSTANT(jnp.zeros((batch,), jnp.int32), n)
 
         if op == OP_MUL:
+            # magnitude product; per-lane signs live in the answer code
             if self.fused:
                 from ieache_tpu.circuits import fused as fz
 
@@ -217,31 +234,39 @@ class CloudEvaluator:
                 pb = 5
             # W rounds x (W AND partials + one 2W-bit add at pb/bit)
             self.gate_count += (1 + 2 * pb) * width * width * batch
-        elif (op == OP_ADD and combined in (0, 3)) or (
-            op == OP_SUB and combined in (1, 2)
-        ):
-            # magnitude addition: A+B, (-A)+(-B), A-(-B), (-A)-B
-            result, _ = self._add(av, bv, zero_c)
-        elif (op == OP_SUB and combined == 0) or (
-            op == OP_ADD and combined == 2
-        ):
-            # A - B  /  A + (-B): A + twos(B), raw two's complement out
-            result, _ = self._add(av, self._twos(bv), zero_c)
-        elif (op == OP_SUB and combined == 3) or (
-            op == OP_ADD and combined == 1
-        ):
-            # (-A) - (-B) = B - A  /  (-A) + B: B + twos(A)
-            result, _ = self._add(bv, self._twos(av), zero_c)
+        elif op in (OP_ADD, OP_SUB):
+            if op == OP_ADD:
+                # magnitude add lanes: A+B, (-A)+(-B); swap when only A
+                # is negative ((-A)+B = B - A)
+                mag = (combined == 0) | (combined == 3)
+                swap = combined == 1
+            else:
+                # magnitude add lanes: A-(-B), (-A)-B; swap when both
+                # negative ((-A)-(-B) = B - A)
+                mag = (combined == 1) | (combined == 2)
+                swap = combined == 3
+            comp = ~mag
+            swap_j = jnp.asarray(swap)[:, None, None]
+            x = jnp.where(swap_j, bv, av)
+            y = jnp.where(swap_j, av, bv)
+            comp_j = jnp.asarray(comp)[:, None, None]
+            y = jnp.where(comp_j, arith.not_word(y), y)
+            carry_in = gates.CONSTANT(
+                jnp.asarray(comp, jnp.int32), n
+            )
+            result, _ = self._add(x, y, carry_in)
         else:
             raise ValueError(f"bad op {op}")
 
         # answer metadata (fresh nbit encryptions, cloud.c:808-855)
-        stream = prng.key_from_seed_words([0xA27, op, width, answer_code])
+        stream = prng.key_from_seed_words(
+            [0xA27, op, width, int(answer_codes.sum()) & 0x7FFFFFFF]
+        )
         ans_bits = out_width
         neg_word = jnp.asarray(
             encrypt.encrypt_bits(
                 nbit,
-                words.values_to_bits([answer_code] * batch, META_WIDTH),
+                words.values_to_bits(answer_codes.tolist(), META_WIDTH),
                 prng.derive(stream, 0),
             )
         )
@@ -264,8 +289,8 @@ class CloudEvaluator:
             "op": op,
             "width": width,
             "out_width": out_width,
-            "neg_code": answer_code,
-            "combined_neg": combined,
+            "neg_codes": sorted(set(answer_codes.tolist())),
+            "combined_neg": sorted(set(combined.tolist())),
         }
         return answer, info
 
@@ -282,20 +307,30 @@ def decrypt_answer(
       mul : 0,4 -> +mag ; 1,2 -> -mag
     (`verif.c:132-173,1424-1429` sign fix-up rules.)
     """
-    code = int(_decrypt_meta_value(nbit_ks, answer.neg_word)[0])
-    width = int(_decrypt_meta_value(nbit_ks, answer.bit_word)[0])
+    codes = _decrypt_meta_value(nbit_ks, answer.neg_word)
+    widths = _decrypt_meta_value(nbit_ks, answer.bit_word)
+    width = int(widths.max())
     vals = words.decrypt_word(main_ks, answer.value[:, :width, :])
 
-    def signed(v):
-        return v - (1 << width) if v >= (1 << (width - 1)) else v
+    def signed(v, w):
+        return v - (1 << w) if v >= (1 << (w - 1)) else v
+
+    def plain(v, w):
+        return v
+
+    def neg(v, w):
+        return -v
 
     if op == OP_ADD:
-        table = {0: lambda v: v, 1: signed, 2: signed, 4: lambda v: -v}
+        table = {0: plain, 1: signed, 2: signed, 4: neg}
     elif op == OP_SUB:
-        table = {0: signed, 4: signed, 1: lambda v: -v, 2: lambda v: v}
+        table = {0: signed, 4: signed, 1: neg, 2: plain}
     elif op == OP_MUL:
-        table = {0: lambda v: v, 4: lambda v: v,
-                 1: lambda v: -v, 2: lambda v: -v}
+        table = {0: plain, 4: plain, 1: neg, 2: neg}
     else:
         raise ValueError(f"bad op {op}")
-    return [table[code](v) for v in vals]
+    # sign fix-up applied per lane: a batch may mix negativity codes
+    return [
+        table[int(code)](v, int(w))
+        for v, code, w in zip(vals, codes, widths)
+    ]

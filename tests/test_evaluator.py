@@ -116,6 +116,66 @@ def test_mul_256bit_rejected():
         pass
 
 
+def test_mixed_sign_batch_per_lane():
+    """A batch mixing ALL four sign combinations must decrypt to the
+    correct per-lane values (the reference's per-run sign branch,
+    `cloud.c:780-827`, generalized per lane; round-1 VERDICT flagged
+    lane-0 metadata as a silent-wrong-answer hazard)."""
+    a_vals = [3, -3, 3, -3, 9, -100]
+    b_vals = [5, 5, -5, -5, -2, 5]
+    got, info = _run(ev.OP_ADD, a_vals, b_vals)
+    assert got == [x + y for x, y in zip(a_vals, b_vals)]
+    assert set(info["neg_codes"]) == {0, 1, 2, 4}
+    got, _ = _run(ev.OP_SUB, a_vals, b_vals)
+    assert got == [x - y for x, y in zip(a_vals, b_vals)]
+    am = [3, -3, 3, -3, 9, -10]
+    bm = [5, 5, -5, -5, -2, 5]
+    got, _ = _run(ev.OP_MUL, am, bm, width=4)
+    assert got == [x * y for x, y in zip(am, bm)]
+
+
+def test_mixed_sign_chained_answer():
+    """Chained answers carry per-lane codes in {0,1,2,4}; feeding a
+    mixed-code answer back as an operand must stay per-lane correct."""
+    pair, cloud = _setup()
+    s = prng.key_from_seed_words([0x51])
+    a = ev.encrypt_operand(pair.main, pair.nbit, [3, -3], 8,
+                           prng.derive(s, 0))
+    b = ev.encrypt_operand(pair.main, pair.nbit, [5, -5], 8,
+                           prng.derive(s, 1))
+    c = ev.encrypt_operand(pair.main, pair.nbit, [7, 2], 8,
+                           prng.derive(s, 2))
+    ab, info = cloud.compute(ev.OP_ADD, a, b)     # [8 (code 0), -8 (code 4)]
+    assert set(info["neg_codes"]) == {0, 4}
+    abc, _ = cloud.compute(ev.OP_ADD, ab, c)
+    got = ev.decrypt_answer(pair.main, pair.nbit, abc, ev.OP_ADD)
+    assert got == [8 + 7, -8 + 2]
+
+
+def test_invalid_negativity_code_rejected():
+    pair, cloud = _setup()
+    s = prng.key_from_seed_words([0x52])
+    a = ev.encrypt_operand(pair.main, pair.nbit, [3], 8,
+                           prng.derive(s, 0))
+    b = ev.encrypt_operand(pair.main, pair.nbit, [5], 8,
+                           prng.derive(s, 1))
+    # corrupt A's negativity word to an undefined code (3)
+    from ieache_tpu.circuits import words as W
+    from ieache_tpu.lwe import encrypt as enc
+    import jax.numpy as jnp
+
+    bad = jnp.asarray(enc.encrypt_bits(
+        pair.nbit, W.values_to_bits([3], ev.META_WIDTH),
+        prng.derive(s, 3),
+    ))
+    a = ev.Operand(bad, a.bit_word, a.value, a.carry_word)
+    try:
+        cloud.compute(ev.OP_ADD, a, b)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
 def test_answer_chains_as_operand():
     """answer layout == operand layout (compute_final chaining,
     dragonfly_cipher_cloud.py:1300-1327)."""
