@@ -185,18 +185,23 @@ def cmd_expr(args):
     if len(values) != len(letters):
         print(f"need {len(letters)} values for {letters}")
         sys.exit(1)
-    t0 = time.time()
-    res = sim.run_full_flow(
-        postfix, values, width=args.width, params=_params(args.params),
-        adder=args.adder,
+    from ieache_tpu.utils import trace
+
+    tim = trace.Timings()
+    with tim.span("expr", expression=args.expression):
+        res = sim.run_full_flow(
+            postfix, values, width=args.width,
+            params=_params(args.params), adder=args.adder,
+        )
+    tim.count("bootstraps", res.gate_count)
+    tim.spans.extend(
+        {"name": f"compute:{t['op']}", **t} for t in res.timings
     )
     print(f"Postfix Expression: {postfix}")
     print(f"Answer: {res.values[0]}")
-    print(f"Total Time: {time.time() - t0:.3f}s  "
+    print(f"Total Time: {tim.total('expr'):.3f}s  "
           f"(bootstrapped gates: {res.gate_count})")
-    with open("timings.txt", "a") as f:  # output_dynamic.py:736-743
-        f.write(json.dumps({"expr": args.expression,
-                            "timings": res.timings}) + "\n")
+    tim.dump("timings.txt")  # output_dynamic.py:736-743
 
 
 def cmd_reset(args):
@@ -220,6 +225,11 @@ def cmd_serve(args):
 
     from ieache_tpu.cli import fixtures
     from ieache_tpu.mp import nodes
+    from ieache_tpu.mp.config import NetworkConfig
+    from ieache_tpu.utils import log as ulog
+
+    ulog.setup("ieache", logfile=args.logfile)
+    cfg = NetworkConfig(password=args.password)
 
     def addr(s, default_port):
         host, _, port = s.partition(":")
@@ -227,30 +237,37 @@ def cmd_serve(args):
 
     port = args.port or (4380 if args.plane == "key" else 4381)
     if args.role == "keygen":
-        node = nodes.KeygenNode(_params(args.params), args.password)
+        node = nodes.KeygenNode(_params(args.params), cfg=cfg)
+        if args.clients:
+            # ping-discovery before admission
+            # (dragonfly_private_keygen.py:685-689)
+            hosts = args.clients.split(",")
+            up = node.discover(hosts, port=args.discover_port or None)
+            print(f"hostup: {len(up)}/{len(hosts)}", flush=True)
         node.start(args.bind, port)
-        print(f"keygen serving on {args.bind}:{port}")
+        print(f"keygen serving on {args.bind}:{port}", flush=True)
         while len(node.served) < args.expect_peers:
             _t.sleep(0.5)
         node.notify_finished(addr(args.output_addr, 4380))
-        print("finished signal sent; continuing to serve")
+        print("finished signal sent; continuing to serve", flush=True)
         while True:
             _t.sleep(3600)
     elif args.role == "client":
-        node = nodes.ClientNode(args.index, args.password)
+        node = nodes.ClientNode(args.index, cfg=cfg)
         node.receive_keys(addr(args.keygen_addr, 4380))
         value = (args.value if args.value is not None
                  else fixtures.canned_value(args.width))
         node.set_value([value], args.width)
         node.start_data_server(args.bind, port)
-        print(f"client-{args.index} serving on {args.bind}:{port}")
+        print(f"client-{args.index} serving on {args.bind}:{port}",
+              flush=True)
         while True:
             _t.sleep(3600)
     else:  # cloud
-        node = nodes.CloudNode(args.password)
+        node = nodes.CloudNode(cfg=cfg)
         node.receive_keys(addr(args.keygen_addr, 4380))
         node.start_job_server(args.bind, port)
-        print(f"cloud serving on {args.bind}:{port}")
+        print(f"cloud serving on {args.bind}:{port}", flush=True)
         while True:
             _t.sleep(3600)
 
@@ -337,6 +354,13 @@ def build_parser():
     p.add_argument("--width", type=int, default=32)
     p.add_argument("--expect-peers", type=int, default=4,
                    help="keygen: peers to serve before 'finished'")
+    p.add_argument("--clients", default="",
+                   help="keygen: comma-separated client hosts to "
+                        "ping-discover before admission")
+    p.add_argument("--discover-port", type=int, default=0,
+                   help="TCP port probed during discovery (0 = ICMP)")
+    p.add_argument("--logfile", default="dragonfly.log",
+                   help="log file (console is always on)")
     p.set_defaults(fn=cmd_serve)
 
     return ap

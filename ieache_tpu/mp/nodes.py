@@ -28,6 +28,8 @@ multi-host deployment.
 
 from __future__ import annotations
 
+import hashlib
+import logging
 import socket
 import threading
 
@@ -37,10 +39,13 @@ from ieache_tpu.circuits import evaluator as ev
 from ieache_tpu.codec import files, schema
 from ieache_tpu.lwe import keygen as kg
 from ieache_tpu.lwe.types import CloudKeySet, GateKeyPair, SecretKeySet
-from ieache_tpu.mp import keywrap, scheduler, transport, wire
-from ieache_tpu.utils import prng
+from ieache_tpu.mp import keywrap, liveness, scheduler, transport, wire
+from ieache_tpu.mp.config import NetworkConfig
+from ieache_tpu.utils import prng, trace
 
 DEFAULT_WIDTH = 32
+
+log = logging.getLogger("ieache.mp.nodes")
 
 
 def _listener(handler, host="127.0.0.1", port=0):
@@ -69,7 +74,12 @@ def _listener(handler, host="127.0.0.1", port=0):
 def _send_keypair(sock, pmk, key_blob: bytes, nbit_blob: bytes,
                   chunk: int = 8192):
     """AES-wrap and stream both blobs as paired DataKey chunks
-    (`dragonfly_private_keygen.py:644-682`)."""
+    (`dragonfly_private_keygen.py:644-682`), then cross-check the
+    plaintext digests with the receiver (the reference prints md5sums
+    on both ends for a *manual* compare,
+    `dragonfly_private_keygen.py:676-680` /
+    `dragonfly_private_client.py:665-669` — here the compare is part
+    of the protocol and a mismatch aborts the transfer)."""
     wrapped_k = keywrap.encrypt_bytes(pmk, key_blob)
     wrapped_n = keywrap.encrypt_bytes(pmk, nbit_blob)
     transport.send_msg(
@@ -94,6 +104,11 @@ def _send_keypair(sock, pmk, key_blob: bytes, nbit_blob: bytes,
         )
         if not transport.recv_ack(sock):
             raise ConnectionError("key chunk rejected")
+    digest = (hashlib.md5(key_blob).hexdigest() + ","
+              + hashlib.md5(nbit_blob).hexdigest())
+    transport.send_msg(sock, schema.DataMd5, {"data": digest})
+    if not transport.recv_ack(sock):
+        raise ConnectionError("key transfer digest mismatch")
 
 
 def _recv_keypair(sock, pmk):
@@ -107,18 +122,30 @@ def _recv_keypair(sock, pmk):
         buf_k += values["key"]
         buf_n += values["nbit"]
         transport.send_ack(sock)
-    return (
-        keywrap.decrypt_bytes(pmk, buf_k[:size_k]),
-        keywrap.decrypt_bytes(pmk, buf_n[:size_n]),
-    )
+    key_blob = keywrap.decrypt_bytes(pmk, buf_k[:size_k])
+    nbit_blob = keywrap.decrypt_bytes(pmk, buf_n[:size_n])
+    want = transport.recv_msg(sock, schema.DataMd5)["data"]
+    got = (hashlib.md5(key_blob).hexdigest() + ","
+           + hashlib.md5(nbit_blob).hexdigest())
+    ok = got == want
+    transport.send_ack(sock, ok)
+    if not ok:
+        raise ConnectionError(
+            f"key transfer digest mismatch: {got} != {want}"
+        )
+    log.info("key pair received (%d + %d bytes, md5 ok)",
+             len(key_blob), len(nbit_blob))
+    return key_blob, nbit_blob
 
 
 class KeygenNode:
     """Key generation + distribution (C1, C15-C17)."""
 
-    def __init__(self, params, password: str = "abc1238",
-                 pair: GateKeyPair | None = None):
-        self.password = password
+    def __init__(self, params, password: str | None = None,
+                 pair: GateKeyPair | None = None,
+                 cfg: NetworkConfig | None = None):
+        self.cfg = cfg or NetworkConfig()
+        self.password = password or self.cfg.password
         self.pair = pair or kg.generate_gate_keypair(params)
         self.mac = "keygen"
         self._secret_blob = files.dumps_container(
@@ -159,19 +186,35 @@ class KeygenNode:
                 )
                 if role.startswith("cloud"):
                     _send_keypair(conn, pmk, self._cloud_blob,
-                                  self._nbit_blob)
+                                  self._nbit_blob,
+                                  chunk=self.cfg.key_chunk_size)
                 else:
                     _send_keypair(conn, pmk, self._secret_blob,
-                                  self._nbit_blob)
+                                  self._nbit_blob,
+                                  chunk=self.cfg.key_chunk_size)
                 self.served.append(role)
+                log.info("keygen: served %s keys to %s",
+                         "cloud" if role.startswith("cloud")
+                         else "secret", role)
             finally:
                 conn.close()
 
         self.addr, self._srv = _listener(handle, host, port)
         return self.addr
 
+    def discover(self, hosts, port: int | None = None) -> list:
+        """Ping-discovery of live client hosts before admission
+        (`dragonfly_private_keygen.py:685-689` — the reference counts
+        `hostup` over pings to 192.168.0.21-23)."""
+        up = [h for h in hosts if liveness.host_alive(h, port)]
+        log.info("keygen: discovery %d/%d hosts up", len(up), len(hosts))
+        return up
+
     def notify_finished(self, output_addr):
-        s = transport.connect_retry(*output_addr)
+        s = transport.connect_retry(
+            *output_addr, retries=self.cfg.connect_retries,
+            delay=self.cfg.connect_retry_s,
+        )
         try:
             transport.send_msg(
                 s, schema.DataIndicator, {"data": "finished"}
@@ -180,15 +223,18 @@ class KeygenNode:
             s.close()
 
     def stop(self):
-        self._srv.close()
+        if getattr(self, "_srv", None) is not None:
+            self._srv.close()
 
 
 class ClientNode:
     """Value holder + encryptor + ciphertext server (C2, C3, C18, C19)."""
 
-    def __init__(self, index: int, password: str = "abc1238"):
+    def __init__(self, index: int, password: str | None = None,
+                 cfg: NetworkConfig | None = None):
         self.index = index
-        self.password = password
+        self.cfg = cfg or NetworkConfig()
+        self.password = password or self.cfg.password
         self.mac = f"client-{index}"
         self.main_ks: SecretKeySet | None = None
         self.nbit_ks: SecretKeySet | None = None
@@ -197,7 +243,10 @@ class ClientNode:
         self._serve_count = 0
 
     def receive_keys(self, keygen_addr):
-        s = transport.connect_retry(*keygen_addr)
+        s = transport.connect_retry(
+            *keygen_addr, retries=self.cfg.connect_retries,
+            delay=self.cfg.connect_retry_s,
+        )
         try:
             pmk, _ = transport.sae_handshake(s, self.password, self.mac)
             secret_blob, nbit_blob = _recv_keypair(s, pmk)
@@ -223,11 +272,24 @@ class ClientNode:
     def start_data_server(self, host="127.0.0.1", port=0):
         def handle(conn, peer):
             try:
+                # an explicit request precedes encryption so liveness
+                # probes (bare connect+close) don't trigger an ./alice
+                # run; the reference encrypts on accept
+                # (`dragonfly_cipher_client.py:49`)
+                req = transport.recv_msg(conn, schema.DataIndicator)
+                if req["data"] != "request":
+                    return
                 op = self.encrypt_operand()
                 blob = wire.operand_to_bytes(
                     op, self.main_ks.params, self.nbit_ks.params
                 )
-                transport.send_blob(conn, blob)
+                transport.send_blob(conn, blob,
+                                    chunk=self.cfg.chunk_size)
+                log.info("client-%d: served operand (%d bytes) to %s",
+                         self.index, len(blob), peer)
+            except (ConnectionError, OSError):
+                log.debug("client-%d: connection dropped (probe?)",
+                          self.index)
             finally:
                 conn.close()
 
@@ -235,24 +297,34 @@ class ClientNode:
         return self.addr
 
     def stop(self):
-        self._srv.close()
+        if getattr(self, "_srv", None) is not None:
+            self._srv.close()
 
 
 class CloudNode:
     """Evaluator + job orchestrator (C10, C20, C21)."""
 
-    def __init__(self, password: str = "abc1238", adder: str = "ripple"):
-        self.password = password
+    def __init__(self, password: str | None = None,
+                 adder: str = "ripple",
+                 cfg: NetworkConfig | None = None):
+        self.cfg = cfg or NetworkConfig()
+        self.password = password or self.cfg.password
         self.mac = "cloud"
         self.adder = adder
         self.evaluator: ev.CloudEvaluator | None = None
         self.client_addrs = {}
         self.timings = []
+        #: structured spans/counters (utils.trace) — the reference's
+        #: timings.txt role (`dragonfly_cipher_cloud.py:902-908`)
+        self.trace = trace.Timings()
 
     def receive_keys(self, keygen_addr):
         import ieache_tpu.boot.bootstrap as boot
 
-        s = transport.connect_retry(*keygen_addr)
+        s = transport.connect_retry(
+            *keygen_addr, retries=self.cfg.connect_retries,
+            delay=self.cfg.connect_retry_s,
+        )
         try:
             pmk, _ = transport.sae_handshake(s, self.password, self.mac)
             cloud_blob, nbit_blob = _recv_keypair(s, pmk)
@@ -276,28 +348,36 @@ class CloudNode:
     def _fetch(self, letter):
         """Pull an operand stream (cipher()/cipher_ab() equivalent)."""
         addr = self.client_addrs[letter]
-        s = transport.connect_retry(*addr)
-        try:
-            blob = transport.recv_blob(s)
-        finally:
-            s.close()
+        with self.trace.span("data_request", letter=letter):
+            s = transport.connect_retry(
+                *addr, retries=self.cfg.connect_retries,
+                delay=self.cfg.connect_retry_s,
+            )
+            try:
+                transport.send_msg(s, schema.DataIndicator,
+                                   {"data": "request"})
+                blob = transport.recv_blob(s)
+            finally:
+                s.close()
         return wire.operand_from_bytes(blob)
 
     def run_job(self, postfix: str):
         """Walk the expression; returns (answer Operand, final op)."""
-        import time as _t
-
         def compute(op_char, a, b):
-            t0 = _t.perf_counter()
-            ans, info = self.evaluator.compute(
-                scheduler.OPCODES[op_char], a, b
-            )
+            before = self.evaluator.gate_count
+            with self.trace.span(f"compute:{op_char}"):
+                ans, info = self.evaluator.compute(
+                    scheduler.OPCODES[op_char], a, b
+                )
+            self.trace.count("bootstraps",
+                             self.evaluator.gate_count - before)
             self.timings.append(
-                {"op": op_char, "seconds": _t.perf_counter() - t0,
-                 **info}
+                {"op": op_char,
+                 "seconds": self.trace.spans[-1]["seconds"], **info}
             )
             return ans
 
+        log.info("cloud: running job %s", postfix)
         return scheduler.walk_postfix(postfix, self._fetch, compute)
 
     def start_job_server(self, host="127.0.0.1", port=0):
@@ -325,6 +405,7 @@ class CloudNode:
                 try:
                     answer, last_op = self.run_job(postfix)
                 except (scheduler.JobError, ev.MulWidthError) as e:
+                    log.warning("cloud: job %s failed: %s", postfix, e)
                     transport.send_msg(
                         conn, schema.DataIndicator,
                         {"data": f"error: {e}"},
@@ -342,7 +423,9 @@ class CloudNode:
                     conn, blob,
                     size_schema=schema.DataAnsSize,
                     content_schema=schema.DataAnswer,
+                    chunk=self.cfg.chunk_size,
                 )
+                log.info("cloud: answer shipped (%d bytes)", len(blob))
             finally:
                 conn.close()
 
@@ -350,21 +433,27 @@ class CloudNode:
         return self.addr
 
     def stop(self):
-        self._srv.close()
+        if getattr(self, "_srv", None) is not None:
+            self._srv.close()
 
 
 class OutputNode:
     """User-facing driver + decryptor (C11, C18, C22)."""
 
-    def __init__(self, password: str = "abc1238"):
-        self.password = password
+    def __init__(self, password: str | None = None,
+                 cfg: NetworkConfig | None = None):
+        self.cfg = cfg or NetworkConfig()
+        self.password = password or self.cfg.password
         self.mac = "output"
         self.main_ks: SecretKeySet | None = None
         self.nbit_ks: SecretKeySet | None = None
         self._finished = threading.Event()
 
     def receive_keys(self, keygen_addr):
-        s = transport.connect_retry(*keygen_addr)
+        s = transport.connect_retry(
+            *keygen_addr, retries=self.cfg.connect_retries,
+            delay=self.cfg.connect_retry_s,
+        )
         try:
             pmk, _ = transport.sae_handshake(s, self.password, self.mac)
             secret_blob, nbit_blob = _recv_keypair(s, pmk)
@@ -390,9 +479,30 @@ class OutputNode:
             raise TimeoutError("keygen never signalled 'finished'")
 
     def submit_job(self, cloud_addr, postfix: str,
-                   client_addrs: dict, timeout=600):
-        """SAE with Cloud, send the job, receive + decode the answer."""
-        s = transport.connect_retry(*cloud_addr)
+                   client_addrs: dict, timeout=600,
+                   check_liveness: bool = True):
+        """SAE with Cloud, send the job, receive + decode the answer.
+
+        Every operand host is validated (IPv4 format + liveness probe)
+        before the job is sent — the reference's per-operand
+        `validateIP` + ping gate (`output_dynamic.py:1096-1113`)."""
+        from ieache_tpu.cli import convert
+
+        for letter in sorted(client_addrs):
+            chost, cport = client_addrs[letter]
+            if not convert.validate_ipv4(chost):
+                raise ValueError(
+                    f"Invalid IP address for operand {letter}: {chost!r}"
+                )
+            if check_liveness and not liveness.host_alive(chost, cport):
+                raise ValueError(
+                    f"Host for operand {letter} ({chost}:{cport}) "
+                    "is not alive"
+                )
+        s = transport.connect_retry(
+            *cloud_addr, retries=self.cfg.connect_retries,
+            delay=self.cfg.connect_retry_s,
+        )
         s.settimeout(timeout)
         try:
             pmk, _ = transport.sae_handshake(s, self.password, self.mac)
@@ -441,7 +551,8 @@ class OutputNode:
         )
 
     def stop(self):
-        self._srv.close()
+        if getattr(self, "_srv", None) is not None:
+            self._srv.close()
 
 
 def _secret_from_blob(blob: bytes) -> SecretKeySet:

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 
+from ieache_tpu.mp.config import NetworkConfig, localhost_config
 from ieache_tpu.mp.nodes import (
     ClientNode,
     CloudNode,
@@ -34,9 +35,10 @@ def run_full_flow(
     client_values: dict,
     width: int,
     params,
-    password: str = "abc1238",
+    password: str | None = None,
     adder: str = "ripple",
     pair=None,
+    cfg: NetworkConfig | None = None,
 ) -> SimResult:
     """Run the complete IE-ACHE flow in-process.
 
@@ -44,16 +46,18 @@ def run_full_flow(
     letters same batch length); width: operand bit width.
     """
     letters = sorted(client_values)
+    cfg = cfg or localhost_config()
 
-    keygen = KeygenNode(params, password, pair=pair)
-    kaddr = keygen.start()
+    keygen = KeygenNode(params, password, pair=pair, cfg=cfg)
+    kaddr = keygen.start(cfg.keygen.host, cfg.keygen.key_port)
 
-    output = OutputNode(password)
-    oaddr = output.start_indicator_server()
+    output = OutputNode(password, cfg=cfg)
+    oaddr = output.start_indicator_server(cfg.output.host,
+                                          cfg.output.key_port)
 
     clients = {}
     for i, letter in enumerate(letters):
-        c = ClientNode(i + 1, password)
+        c = ClientNode(i + 1, password, cfg=cfg)
         c.set_value(client_values[letter], width)
         clients[letter] = c
 
@@ -62,16 +66,20 @@ def run_full_flow(
     output.receive_keys(kaddr)
     for letter in letters:
         clients[letter].receive_keys(kaddr)
-    cloud = CloudNode(password, adder=adder)
+    cloud = CloudNode(password, adder=adder, cfg=cfg)
     cloud.receive_keys(kaddr)
     keygen.notify_finished(oaddr)
     output.wait_finished()
 
     # data plane
     client_addrs = {
-        letter: clients[letter].start_data_server() for letter in letters
+        letter: clients[letter].start_data_server(
+            cfg.clients[i].host, cfg.clients[i].data_port
+        )
+        for i, letter in enumerate(letters)
     }
-    cloud_addr = cloud.start_job_server()
+    cloud_addr = cloud.start_job_server(cfg.cloud.host,
+                                        cfg.cloud.data_port)
     try:
         values = output.submit_job(cloud_addr, postfix, client_addrs)
     finally:

@@ -86,3 +86,104 @@ def test_full_flow_three_operand_chain():
     # (30+12)-50 = -8 ; (1+2)-3 = 0
     assert res.values == [-8, 0]
     assert len(res.timings) == 2
+
+
+def test_key_transfer_digest_mismatch_detected():
+    """Tampered key material must fail the md5 cross-check
+    (`dragonfly_private_keygen.py:676-680` semantics, made automatic)."""
+    import socket
+    import threading
+
+    from ieache_tpu.mp import keywrap as kw, nodes, transport
+    from ieache_tpu.codec import schema
+
+    a, b = socket.socketpair()
+    pmk = bytes(range(32))
+    blob_k, blob_n = b"K" * 1000, b"N" * 500
+    errors = []
+
+    def sender():
+        # corrupt: send the digest of DIFFERENT content
+        wrapped_k = kw.encrypt_bytes(pmk, blob_k)
+        wrapped_n = kw.encrypt_bytes(pmk, blob_n)
+        transport.send_msg(a, schema.DataFsize,
+                           {"data": len(wrapped_k)})
+        transport.recv_ack(a)
+        transport.send_msg(a, schema.DataFsize,
+                           {"data": len(wrapped_n)})
+        transport.recv_ack(a)
+        transport.send_msg(a, schema.DataKey,
+                           {"key": wrapped_k, "nbit": wrapped_n})
+        transport.recv_ack(a)
+        transport.send_msg(a, schema.DataMd5,
+                           {"data": "deadbeef,deadbeef"})
+        if not transport.recv_ack(a):
+            errors.append("sender saw mismatch")
+
+    t = threading.Thread(target=sender)
+    t.start()
+    with pytest.raises(ConnectionError, match="digest mismatch"):
+        nodes._recv_keypair(b, pmk)
+    t.join(10)
+    assert errors == ["sender saw mismatch"]
+    a.close()
+    b.close()
+
+
+def test_key_transfer_digest_ok_roundtrip():
+    import socket
+    import threading
+
+    from ieache_tpu.mp import nodes
+
+    a, b = socket.socketpair()
+    pmk = bytes(range(32))
+    blob_k, blob_n = b"K" * 9000, b"N" * 500
+    t = threading.Thread(
+        target=nodes._send_keypair, args=(a, pmk, blob_k, blob_n),
+        kwargs={"chunk": 4096},
+    )
+    t.start()
+    got_k, got_n = nodes._recv_keypair(b, pmk)
+    t.join(10)
+    assert (got_k, got_n) == (blob_k, blob_n)
+    a.close()
+    b.close()
+
+
+def test_submit_job_validates_liveness_and_ip():
+    """Per-operand IPv4 + liveness gate (`output_dynamic.py:1096-1113`)."""
+    from ieache_tpu.mp import nodes
+
+    out = nodes.OutputNode("pw")
+    with pytest.raises(ValueError, match="Invalid IP"):
+        out.submit_job(("127.0.0.1", 1), "AB+",
+                       {"A": ("not-an-ip", 5), "B": ("127.0.0.1", 5)})
+    # a dead-but-valid address: port 1 on loopback is closed (and this
+    # environment has no ping binary, so the fallback also fails)
+    with pytest.raises(ValueError, match="not alive"):
+        out.submit_job(("127.0.0.1", 1), "AB+",
+                       {"A": ("127.0.0.1", 1), "B": ("127.0.0.1", 1)})
+
+
+def test_keygen_discover_tcp_probe():
+    import socket
+
+    from ieache_tpu.mp import nodes
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    node = nodes.KeygenNode.__new__(nodes.KeygenNode)  # skip keygen
+    up = node.discover(["127.0.0.1"], port=port)
+    assert up == ["127.0.0.1"]
+    srv.close()
+
+
+def test_node_stop_before_start_is_safe():
+    from ieache_tpu.mp import nodes
+
+    nodes.OutputNode("pw").stop()
+    nodes.CloudNode("pw").stop()
+    nodes.ClientNode(1, "pw").stop()
