@@ -227,13 +227,19 @@ class CloudEvaluator:
             if self.fused:
                 from ieache_tpu.circuits import fused as fz
 
-                result = fz.schoolbook_mul_fused(av, bv, self.dck)
+                mode = fz.mul_mode()
+                if mode == "csa":
+                    result = fz.schoolbook_mul_csa(av, bv, self.dck)
+                else:
+                    result = fz.schoolbook_mul_fused(av, bv, self.dck)
                 pb = fz.ADDER_BOOTSTRAPS_PER_BIT[fz.adder_mode()]
+                self.gate_count += (
+                    fz.MUL_BOOTSTRAPS[mode](width, pb) * batch
+                )
             else:
                 result = arith.schoolbook_mul(av, bv, self.dck, out_width)
-                pb = 5
-            # W rounds x (W AND partials + one 2W-bit add at pb/bit)
-            self.gate_count += (1 + 2 * pb) * width * width * batch
+                # W rounds x (W ANDs + one 2W-bit add at 5 gates/bit)
+                self.gate_count += (1 + 2 * 5) * width * width * batch
         elif op in (OP_ADD, OP_SUB):
             if op == OP_ADD:
                 # magnitude add lanes: A+B, (-A)+(-B); swap when only A

@@ -159,6 +159,116 @@ def add_then_sub(a, b_, c, key: DeviceCloudKey):
     return s
 
 
+def _mul_shift_matrices(w: int, ow: int):
+    """Shift one-hots: for round i, matrix (2W, W) with [i+k, k] = 1."""
+    eye = jnp.eye(w, dtype=jnp.int32)
+    return jnp.stack(
+        [
+            jnp.concatenate(
+                [jnp.zeros((i, w), jnp.int32), eye,
+                 jnp.zeros((ow - w - i, w), jnp.int32)], axis=0
+            )
+            for i in range(w)
+        ]
+    )  # (W, 2W, W)
+
+
+def _and_partial(xf, yi, w, key: DeviceCloudKey):
+    """All W partial products x_k AND y_i as ONE bootstrap wave."""
+    n = key.params.n
+    pre = xf + jnp.repeat(yi, w, axis=0)
+    pre = pre.at[:, n].add(jnp.int32(-MU))
+    return _bootstrap_raw(pre, key)
+
+
+def _place_partial(partial, shift_onehot, n):
+    """Scatter W partial-product bits into a 2W word at the round's
+    offset via a selection matmul; uncovered rows become trivial
+    encryptions of 0 (body = -MU), the reference's CONSTANT(0) fill."""
+    shifted = jnp.einsum(
+        "jw,bwm->bjm", shift_onehot, partial,
+        preferred_element_type=jnp.int32,
+    )
+    covered = jnp.sum(shift_onehot, axis=1)               # (2W,)
+    return shifted.at[:, :, n].add(
+        (1 - covered)[None, :] * jnp.int32(-MU)
+    )
+
+
+@jax.jit
+def schoolbook_mul_csa(x, y, key: DeviceCloudKey):
+    """W x W -> 2W bit product via carry-save accumulation, one dispatch.
+
+    The reference's mul32 (`cloud.c:115-218`) ripple-adds each shifted
+    partial product into the accumulator — W rounds x a 2W-bit serial
+    carry chain (~4W² serial bootstrap waves of only B lanes each).
+    Here the accumulator is a redundant (sum, carry) pair and each
+    round folds its partial in with ONE 3:2 compressor over all 2W bit
+    positions at once (no carry chain):
+
+        maj  = sign(s + c + p)             (majority = carry bit)
+        sum' = sign(s + c + p - 2·maj)     (parity fix-up)
+        c'   = maj << 1
+
+    — the maj2 full-adder trick (`_adder_bit_step_maj2`) applied
+    bit-parallel.  One carry-propagate add at the end resolves the
+    redundant form.  Totals: W² + 4W² + 4W bootstraps (vs 5W² for the
+    ripple variant) but serial depth collapses to 3W + 4W waves, and
+    every compress wave is B·2W lanes wide — the MXU stays saturated
+    even at small batch, which is what makes W=64/128 multiplies
+    practical on hardware (BASELINE: mul64 ≈ 37k, mul128 ≈ 190k
+    bootstraps per expression).
+    """
+    b, w, m = x.shape
+    n = key.params.n
+    ow = 2 * w
+
+    zeros = gates.CONSTANT(jnp.zeros((b, ow), jnp.int32), n)
+    xf = x.reshape(b * w, m)
+    ys = jnp.moveaxis(y, 1, 0)                 # (W, B, n+1)
+    shift_mats = _mul_shift_matrices(w, ow)
+
+    def round_step(carry, yi_and_shift):
+        s, c = carry
+        yi, shift_onehot = yi_and_shift
+        partial = _and_partial(xf, yi, w, key).reshape(b, w, m)
+        p = _place_partial(partial, shift_onehot, n)
+        tot = (s + c + p).reshape(b * ow, m)   # phases {±3μ, ±μ}
+        maj = _bootstrap_raw(tot, key)
+        sum_ = _bootstrap_raw(tot - 2 * maj, key).reshape(b, ow, m)
+        majw = maj.reshape(b, ow, m)
+        c_new = jnp.concatenate(
+            [zeros[:, :1, :], majw[:, :-1, :]], axis=1
+        )  # carry shifts up one bit; the top carry drops (mod 2^2W)
+        return (sum_, c_new), None
+
+    (s, c), _ = jax.lax.scan(round_step, (zeros, zeros),
+                             (ys, shift_mats))
+    zero_bit = gates.CONSTANT(jnp.zeros((b,), jnp.int32), n)
+    out, _ = _ripple_add_fused(s, c, zero_bit, key, adder_mode())
+    return out
+
+
+#: bootstraps per W x W multiply lane, by mode (evaluator accounting);
+#: pb = adder bootstraps/bit
+MUL_BOOTSTRAPS = {
+    "csa": lambda w, pb: 5 * w * w + 2 * pb * w,
+    "shift": lambda w, pb: (1 + 2 * pb) * w * w,
+}
+
+
+def mul_mode() -> str:
+    """Fused multiplier circuit: IEACHE_MUL=shift selects the
+    reference-style shift-and-add accumulator; default csa
+    (carry-save, ~W x lower serial depth)."""
+    import os
+
+    mode = os.environ.get("IEACHE_MUL", "csa")
+    if mode not in MUL_BOOTSTRAPS:
+        raise ValueError(f"IEACHE_MUL must be csa|shift, got {mode!r}")
+    return mode
+
+
 @jax.jit
 def schoolbook_mul_fused(x, y, key: DeviceCloudKey):
     """W x W -> 2W bit product, one dispatch.
@@ -172,46 +282,17 @@ def schoolbook_mul_fused(x, y, key: DeviceCloudKey):
 
     zero_bit = gates.CONSTANT(jnp.zeros((b,), jnp.int32), n)
     acc0 = gates.CONSTANT(jnp.zeros((b, ow), jnp.int32), n)
-
     xf = x.reshape(b * w, m)
+    ys = jnp.moveaxis(y, 1, 0)  # (W, B, n+1)
+    shift_mats = _mul_shift_matrices(w, ow)
 
-    def round_step(carry_acc, yi_and_i):
-        yi, shift_onehot = yi_and_i  # (B, n+1), (W+? ) -- see below
-        acc = carry_acc
-        # partial products: x_k AND y_i
-        pre = xf + jnp.repeat(yi, w, axis=0)
-        pre = pre.at[:, n].add(jnp.int32(-MU))
-        partial = _bootstrap_raw(pre, key).reshape(b, w, m)
-        # place into 2W at offset i via the precomputed one-hot shift:
-        # shifted[j] = partial[j - i] for i <= j < i+W else trivial 0
-        # implemented as a (2W, W) selection matmul on the LWE rows
-        shifted = jnp.einsum(
-            "jw,bwm->bjm", shift_onehot, partial.astype(jnp.int32),
-            preferred_element_type=jnp.int32,
-        )
-        # rows not covered by the one-hot are all-zero LWE vectors;
-        # make them trivial encryptions of 0 (body = -MU) so the adder
-        # sees valid gate encodings (the reference's CONSTANT(0) fill)
-        covered = jnp.sum(shift_onehot, axis=1)          # (2W,)
-        shifted = shifted.at[:, :, n].add(
-            (1 - covered)[None, :] * jnp.int32(-MU)
-        )
+    def round_step(acc, yi_and_shift):
+        yi, shift_onehot = yi_and_shift
+        partial = _and_partial(xf, yi, w, key).reshape(b, w, m)
+        shifted = _place_partial(partial, shift_onehot, n)
         acc, _ = _ripple_add_fused(acc, shifted, zero_bit, key,
                                    adder_mode())
         return acc, None
 
-    # shift one-hots: for round i, matrix (2W, W) with [i+k, k] = 1
-    eye = jnp.eye(w, dtype=jnp.int32)
-    shift_mats = jnp.stack(
-        [
-            jnp.concatenate(
-                [jnp.zeros((i, w), jnp.int32), eye,
-                 jnp.zeros((ow - w - i, w), jnp.int32)], axis=0
-            )
-            for i in range(w)
-        ]
-    )  # (W, 2W, W)
-
-    ys = jnp.moveaxis(y, 1, 0)  # (W, B, n+1)
     acc, _ = jax.lax.scan(round_step, acc0, (ys, shift_mats))
     return acc
