@@ -92,3 +92,41 @@ def test_bootstrap_parity_noisy(oracle):
     np.testing.assert_array_equal(
         oracle.oracle_decrypt(p, ks.lwe_key.s, nat_out), bits
     )
+
+
+#: full production geometry (N=1024, full noise scales) with a small
+#: LWE dimension so the O(n * N^2) schoolbook oracle stays test-sized;
+#: one per gadget: (8,2) = the default fast single-limb path, (10,2) =
+#: the tfhe-lib-compatible TWO-limb digit path (never oracle-compared
+#: in round 1 — VERDICT #6)
+import dataclasses  # noqa: E402
+
+FULLGEO_L2 = dataclasses.replace(
+    P.IEACHE_110_FAST, n=32, name="fullgeo_l2"
+)
+FULLGEO_COMPAT = dataclasses.replace(
+    P.IEACHE_110_TFHE_COMPAT, n=32, name="fullgeo_compat"
+)
+
+
+@pytest.mark.parametrize("p", [FULLGEO_L2, FULLGEO_COMPAT],
+                         ids=lambda p: p.name)
+def test_bootstrap_parity_full_geometry(oracle, p):
+    """N=1024 with production noise scales and both gadget geometries
+    — pins the full-size rotate/decompose/keyswitch code paths
+    (incl. the two-limb (Bgbit=10, l=2) digit split) to the oracle."""
+    ks = keygen.generate_secret_keyset(p)
+    s, k, bk, kst = oracle.oracle_keygen(p, keygen.MAIN_SEED)
+    np.testing.assert_array_equal(s, ks.lwe_key.s)
+    np.testing.assert_array_equal(k, ks.trlwe_key.coefs)
+    np.testing.assert_array_equal(bk, ks.cloud.bk)
+    np.testing.assert_array_equal(kst, ks.cloud.ks)
+
+    dck = B.pack_cloud_key(ks.cloud)
+    stream = prng.key_from_seed_words([90, p.bg_bit, p.l])
+    bits = prng.uniform_bits01(prng.derive(stream, 0), 4)
+    ct = encrypt.encrypt_bits(ks, bits, prng.derive(stream, 1))
+
+    jax_out = np.asarray(B.bootstrap(jnp.asarray(ct), dck))
+    nat_out = oracle.oracle_bootstrap(p, ks.cloud.bk, ks.cloud.ks, ct)
+    np.testing.assert_array_equal(jax_out, nat_out)
