@@ -241,6 +241,21 @@ def blind_rotate(
             rot_diff_decompose_pallas,
         )
 
+        # pad the batch to the 8-sublane tile (Mosaic blocks); pad
+        # rows are all-zero LWE vectors (their CMux steps accumulate
+        # only decomposition-rounding residue) and are sliced off at
+        # exit
+        b = acc0.shape[0]
+        pad = (-b) % 8
+        if pad:
+            acc0 = jnp.concatenate(
+                [acc0,
+                 jnp.zeros((pad, *acc0.shape[1:]), acc0.dtype)], 0
+            )
+            bara = jnp.concatenate(
+                [bara, jnp.zeros((pad, bara.shape[1]), bara.dtype)], 0
+            )
+
         def step_t(acc_t, xs):
             bk_i, bara_i = xs
             d_t = rot_diff_decompose_pallas(acc_t, bara_i, params)
@@ -250,7 +265,8 @@ def blind_rotate(
 
         acc_t0 = jnp.transpose(acc0, (1, 0, 2))
         acc_t, _ = jax.lax.scan(step_t, acc_t0, (bk, bara.T))
-        return jnp.transpose(acc_t, (1, 0, 2))
+        out = jnp.transpose(acc_t, (1, 0, 2))
+        return out[:b] if pad else out
 
     def step(acc, xs):
         bk_i, bara_i = xs

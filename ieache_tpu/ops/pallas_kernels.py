@@ -235,10 +235,16 @@ def rot_diff_decompose_pallas(
     if off >= 2**31:                       # as a wrapped int32 constant
         off -= 2**32
 
+    if b % 8:
+        # sublane misalignment must fail LOUDLY: the old max(bb, 8)
+        # clamp made grid=(b//8,)==(0,) for b<8 — the kernel never ran
+        # and the output was uninitialized garbage (caught on hardware
+        # as systematically wrong mul128 products at B=4; callers now
+        # pad via blind_rotate)
+        raise ValueError(f"batch {b} must be a multiple of 8")
     bb = b
     while bb > 256 or (b % bb):
         bb //= 2
-    bb = max(bb, 8)
 
     out = pl.pallas_call(
         functools.partial(
