@@ -141,23 +141,37 @@ class CloudEvaluator:
         self.adder = adder
         #: fused=True evaluates each whole op in one jit dispatch
         #: (circuits/fused.py) — essential when device dispatch has
-        #: per-call latency; kogge_stone always uses the unfused path.
-        self.fused = fused and adder == "ripple"
+        #: per-call latency.
+        self.fused = fused
         self.gate_count = 0
 
     # -- helpers -----------------------------------------------------------
     def _add(self, x, y, carry_in):
-        per_bit = 5
+        b, w = x.shape[0], x.shape[1]
         if self.adder == "kogge_stone":
-            s, c = arith.kogge_stone_add(x, y, self.dck, carry_in=carry_in)
-        elif self.fused:
+            if self.fused:
+                from ieache_tpu.circuits import fused as fz
+
+                s, c = fz.kogge_stone_add(x, y, self.dck, carry_in)
+            else:
+                s, c = arith.kogge_stone_add(x, y, self.dck,
+                                             carry_in=carry_in)
+            # 2 p/g + 1 sum bootstraps per bit, + 3 per combine lane
+            count, we, dist = 3 * w, w + 1, 1
+            while dist < we:
+                count += 3 * (we - dist)
+                dist *= 2
+            self.gate_count += count * b
+            return s, c
+        per_bit = 5
+        if self.fused:
             from ieache_tpu.circuits import fused as fz
 
             s, c = fz.ripple_add(x, y, carry_in, self.dck)
             per_bit = fz.ADDER_BOOTSTRAPS_PER_BIT[fz.adder_mode()]
         else:
             s, c = arith.ripple_add(x, y, carry_in, self.dck)
-        self.gate_count += per_bit * x.shape[1] * x.shape[0]
+        self.gate_count += per_bit * w * b
         return s, c
 
     def _twos(self, x):

@@ -131,6 +131,17 @@ def ripple_add(x, y, carry_in, key: DeviceCloudKey, mode: str | None = None):
 
 
 @jax.jit
+def kogge_stone_add(x, y, key: DeviceCloudKey, carry_in):
+    """arith.kogge_stone_add as ONE jit dispatch — the unfused variant
+    issues ~2·log2(W) separate jitted gate calls, unusable where each
+    dispatch costs seconds (the tunneled-platform motivation for the
+    parallel-prefix adder in the first place)."""
+    from ieache_tpu.circuits import arith
+
+    return arith.kogge_stone_add(x, y, key, carry_in=carry_in)
+
+
+@jax.jit
 def twos_complement(x, key: DeviceCloudKey):
     b, w, _ = x.shape
     n = key.params.n

@@ -31,7 +31,10 @@ CASES = {
     "mul32": ("mul", 32, 16),
     "mul64": ("mul", 64, 8),
     "mul128": ("mul", 128, 4),
-    "add256": ("add", 256, 1024),
+    # 256-bit operands are ~0.5 MB/lane of ciphertext; B=256 keeps the
+    # whole flow (2 operands + selects + adder scan stack) well inside
+    # HBM — B=1024 at W=256 crashed the tunneled TPU worker
+    "add256": ("add", 256, 256),
 }
 
 
