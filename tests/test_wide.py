@@ -100,6 +100,27 @@ def test_add_256bit_through_evaluator():
     assert got == [y - x for x, y in zip(avals, bvals)]
 
 
+def test_fused_kogge_stone_evaluator():
+    """The parallel-prefix adder as ONE dispatch through the evaluator
+    (round-1 VERDICT: the unfused variant was dispatch-per-level)."""
+    pair, _ = _setup()
+    import ieache_tpu.boot.bootstrap as B2
+
+    cloud = ev.CloudEvaluator(
+        B2.pack_cloud_key(pair.main.cloud), pair.nbit,
+        adder="kogge_stone",
+    )
+    s = prng.key_from_seed_words([0x6A])
+    a = ev.encrypt_operand(pair.main, pair.nbit, [30, -7], 8,
+                           prng.derive(s, 0))
+    b = ev.encrypt_operand(pair.main, pair.nbit, [12, 5], 8,
+                           prng.derive(s, 1))
+    ans, _ = cloud.compute(ev.OP_SUB, a, b)
+    got = ev.decrypt_answer(pair.main, pair.nbit, ans, ev.OP_SUB)
+    assert got == [18, -12]
+    assert cloud.gate_count > 0
+
+
 def test_csa_equals_shift_multiplier():
     """Both multiplier circuits compute the same product."""
     from ieache_tpu.circuits import words
