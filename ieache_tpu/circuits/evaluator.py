@@ -174,14 +174,6 @@ class CloudEvaluator:
         self.gate_count += per_bit * w * b
         return s, c
 
-    def _twos(self, x):
-        b, w, _ = x.shape
-        n = self.dck.params.n
-        one = words.trivial_word(b, w, n, 1)
-        zero_c = gates.CONSTANT(jnp.zeros((b,), jnp.int32), n)
-        s, _ = self._add(arith.not_word(x), one, zero_c)
-        return s
-
     # -- the dispatch ------------------------------------------------------
     def compute(self, op: int, a: Operand, b: Operand):
         """Returns (answer Operand, info dict) — `cloud.c:650-2720`.
