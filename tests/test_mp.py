@@ -181,6 +181,20 @@ def test_keygen_discover_tcp_probe():
     srv.close()
 
 
+def test_supervisor_bounded_restarts():
+    """The respawn loop (C23, `client_dynamic.py:8-13` semantics) with
+    bounded restarts returns the worker's last exit code."""
+    import sys
+
+    from ieache_tpu.mp import supervisor
+
+    code = supervisor.supervise(
+        [sys.executable, "-c", "import sys; sys.exit(3)"],
+        max_restarts=2, delay=0.05, backoff=1.0, max_delay=0.1,
+    )
+    assert code == 3
+
+
 def test_node_stop_before_start_is_safe():
     from ieache_tpu.mp import nodes
 
