@@ -38,7 +38,9 @@ framework evaluates thousands per bootstrap batch.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -129,6 +131,82 @@ def _decrypt_meta_value(nbit_ks: SecretKeySet, word) -> np.ndarray:
     return np.asarray(words.bits_to_values(bits), np.int64)
 
 
+def _normalized_neg(neg: np.ndarray) -> np.ndarray:
+    """Negativity code -> 0/1 per lane.  Operand codes: 2 from clients
+    (`process.c:80-93`); 1/2/4 when a chained answer is fed back as an
+    operand (`cloud.c:798-827`) — both normalize to "is negative"."""
+    bad = set(neg.tolist()) - {0, 1, 2, 4}
+    if bad:
+        raise ValueError(f"invalid negativity codes: {bad}")
+    return np.isin(neg, (1, 2, 4)).astype(np.int64)
+
+
+def _sign_plan(op: int, combined: np.ndarray):
+    """Per-lane dataflow selection for add/sub (`cloud.c:870-2367`):
+    returns (swap, comp) — swap exchanges the operands, comp runs
+    X + NOT(Y) + 1 instead of the magnitude add X + Y."""
+    if op == OP_ADD:
+        # magnitude add lanes: A+B, (-A)+(-B); swap when only A is
+        # negative ((-A)+B = B - A)
+        mag = (combined == 0) | (combined == 3)
+        swap = combined == 1
+    elif op == OP_SUB:
+        # magnitude add lanes: A-(-B), (-A)-B; swap when both negative
+        # ((-A)-(-B) = B - A)
+        mag = (combined == 1) | (combined == 2)
+        swap = combined == 3
+    else:  # mul: magnitude product, signs live in the answer code
+        mag = np.ones_like(combined, bool)
+        swap = np.zeros_like(combined, bool)
+    return swap, ~mag
+
+
+def _take_width(val: jnp.ndarray, width: int, n: int) -> jnp.ndarray:
+    """Slice a value word to `width` bits, zero-extending with trivial
+    LWE(0) rows if it stores fewer (a chained answer keeps only
+    out_width bits in memory; the reference's answers are padded to 8
+    slots on disk, `cloud.c:899-916`, so its chained operands are
+    always wide enough — ours must extend explicitly)."""
+    have = val.shape[1]
+    if have >= width:
+        return val[:, :width, :]
+    pad = gates.CONSTANT(
+        jnp.zeros((val.shape[0], width - have), jnp.int32), n
+    )
+    return jnp.concatenate([val, pad], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "amode", "mmode"))
+def _chain_exec(dck, vals, swaps, comps, plan, amode, mmode):
+    """Execute a planned left-fold op chain inside one trace.
+
+    plan: tuple of (op, width, out_width) per step (static); vals the
+    operand value words; swaps/comps the per-step per-lane dataflow
+    masks from :func:`_sign_plan`.
+    """
+    from ieache_tpu.circuits import fused as fz
+
+    n = dck.params.n
+    cur = vals[0]
+    for k, (op, w, ow) in enumerate(plan):
+        x = _take_width(cur, w, n)
+        bv = _take_width(vals[k + 1], w, n)
+        if op == OP_MUL:
+            if mmode == "csa":
+                cur = fz.schoolbook_mul_csa(x, bv, dck)
+            else:
+                cur = fz.schoolbook_mul_fused(x, bv, dck)
+        else:
+            sw = swaps[k][:, None, None]
+            cm = comps[k][:, None, None]
+            a_ = jnp.where(sw, bv, x)
+            y = jnp.where(sw, x, bv)
+            y = jnp.where(cm, arith.not_word(y), y)
+            ci = gates.CONSTANT(comps[k].astype(jnp.int32), n)
+            cur, _ = fz.ripple_add(a_, y, ci, dck, amode)
+    return cur
+
+
 class CloudEvaluator:
     """Holds the evaluation keys and runs one (op, A, B) computation."""
 
@@ -200,19 +278,11 @@ class CloudEvaluator:
         bit1 = _decrypt_meta_value(nbit, a.bit_word)
         bit2 = _decrypt_meta_value(nbit, b.bit_word)
 
-        for negs in (neg1, neg2):
-            bad = set(negs.tolist()) - {0, 1, 2, 4}
-            if bad:
-                raise ValueError(f"invalid negativity codes: {bad}")
         width = int(max(bit1.max(), bit2.max()))
 
         # cloud.c:787-804: combined negativity in {0,1,2,3}
         # (0 = none, 1 = A negative, 2 = B negative, 3 = both).
-        # Operand codes: 2 from clients (process.c:80-93); 1/2/4 when a
-        # chained answer is fed back as an operand — normalize both.
-        n1 = np.isin(neg1, (1, 2, 4)).astype(np.int64)
-        n2 = np.isin(neg2, (1, 2, 4)).astype(np.int64)
-        combined = n1 + 2 * n2                       # (B,) in {0..3}
+        combined = _normalized_neg(neg1) + 2 * _normalized_neg(neg2)
         answer_codes = np.array([0, 1, 2, 4])[combined]
 
         out_width = width
@@ -225,8 +295,8 @@ class CloudEvaluator:
 
         batch = a.batch
         n = self.dck.params.n
-        av = a.value[:, :width, :]
-        bv = b.value[:, :width, :]
+        av = _take_width(a.value, width, n)
+        bv = _take_width(b.value, width, n)
 
         if op == OP_MUL:
             # magnitude product; per-lane signs live in the answer code
@@ -247,17 +317,7 @@ class CloudEvaluator:
                 # W rounds x (W ANDs + one 2W-bit add at 5 gates/bit)
                 self.gate_count += (1 + 2 * 5) * width * width * batch
         elif op in (OP_ADD, OP_SUB):
-            if op == OP_ADD:
-                # magnitude add lanes: A+B, (-A)+(-B); swap when only A
-                # is negative ((-A)+B = B - A)
-                mag = (combined == 0) | (combined == 3)
-                swap = combined == 1
-            else:
-                # magnitude add lanes: A-(-B), (-A)-B; swap when both
-                # negative ((-A)-(-B) = B - A)
-                mag = (combined == 1) | (combined == 2)
-                swap = combined == 3
-            comp = ~mag
+            swap, comp = _sign_plan(op, combined)
             swap_j = jnp.asarray(swap)[:, None, None]
             x = jnp.where(swap_j, bv, av)
             y = jnp.where(swap_j, av, bv)
@@ -270,11 +330,25 @@ class CloudEvaluator:
         else:
             raise ValueError(f"bad op {op}")
 
-        # answer metadata (fresh nbit encryptions, cloud.c:808-855)
+        return self._finish_answer(op, width, out_width, answer_codes,
+                                   combined, result, a.carry_word)
+
+    def _finish_answer(self, op, width, out_width, answer_codes,
+                       combined, result, carry_word):
+        """Answer metadata (fresh nbit encryptions, cloud.c:808-855).
+
+        The answer's value carries exactly out_width bits in memory;
+        the 8-slot carry-copy padding of the reference's answer file
+        (cloud.c:899-916) is applied lazily at the wire/file boundary
+        (mp/wire.operand_to_bytes) — padding here costs a ~0.5 GB
+        device concatenation per compute for nothing: both chaining
+        and decryption take value[:, :width].
+        """
+        nbit = self.nbit_ks
+        batch = result.shape[0]
         stream = prng.key_from_seed_words(
             [0xA27, op, width, int(answer_codes.sum()) & 0x7FFFFFFF]
         )
-        ans_bits = out_width
         neg_word = jnp.asarray(
             encrypt.encrypt_bits(
                 nbit,
@@ -285,18 +359,11 @@ class CloudEvaluator:
         bit_word = jnp.asarray(
             encrypt.encrypt_bits(
                 nbit,
-                words.values_to_bits([ans_bits] * batch, META_WIDTH),
+                words.values_to_bits([out_width] * batch, META_WIDTH),
                 prng.derive(stream, 1),
             )
         )
-
-        # the answer's value carries exactly out_width bits in memory;
-        # the 8-slot carry-copy padding of the reference's answer file
-        # (cloud.c:899-916) is applied lazily at the wire/file boundary
-        # (mp/wire.operand_to_bytes) — padding here costs a ~0.5 GB
-        # device concatenation per compute for nothing: both chaining
-        # and decryption slice value[:, :width].
-        answer = Operand(neg_word, bit_word, result, a.carry_word)
+        answer = Operand(neg_word, bit_word, result, carry_word)
         info = {
             "op": op,
             "width": width,
@@ -305,6 +372,73 @@ class CloudEvaluator:
             "combined_neg": sorted(set(combined.tolist())),
         }
         return answer, info
+
+    def compute_chain(self, ops: list, operands: list):
+        """A whole left-fold expression ``(((o0 op0 o1) op1 o2) ...)``
+        as ONE jitted dispatch.
+
+        Observably equivalent to sequential :meth:`compute` calls
+        (pinned by tests/test_evaluator.py) minus the per-step
+        metadata decrypt/encrypt round trips and dispatch latency —
+        the "expression compiler" the SURVEY maps the reference's
+        postfix walk onto (`dragonfly_cipher_cloud.py:682-731` +
+        `compute_final` chaining → a compiled circuit graph).  The
+        whole per-lane sign dataflow is planned host-side up front:
+        every step's answer code is a pure function of the operands'
+        cleartext negativity metadata.
+        """
+        if len(operands) != len(ops) + 1:
+            raise ValueError("chain needs len(ops)+1 operands")
+        from ieache_tpu.circuits import fused as fz
+
+        nbit = self.nbit_ks
+        negs = [_decrypt_meta_value(nbit, o.neg_word) for o in operands]
+        bitws = [
+            int(_decrypt_meta_value(nbit, o.bit_word).max())
+            for o in operands
+        ]
+        batch = operands[0].batch
+        pb = fz.ADDER_BOOTSTRAPS_PER_BIT[fz.adder_mode()]
+
+        plan, swaps, comps = [], [], []
+        cur_neg = _normalized_neg(negs[0])
+        cur_w = bitws[0]
+        answer_codes = combined = None
+        for k, op in enumerate(ops):
+            n2 = _normalized_neg(negs[k + 1])
+            combined = cur_neg + 2 * n2
+            answer_codes = np.array([0, 1, 2, 4])[combined]
+            w = max(cur_w, bitws[k + 1])
+            ow = w
+            if op == OP_MUL:
+                if w >= 256:
+                    raise MulWidthError("Cannot multiply 256 bit number!")
+                ow = 2 * w
+                self.gate_count += (
+                    fz.MUL_BOOTSTRAPS[fz.mul_mode()](w, pb) * batch
+                )
+            elif op in (OP_ADD, OP_SUB):
+                self.gate_count += pb * w * batch
+            else:
+                raise ValueError(f"bad op {op}")
+            swap, comp = _sign_plan(op, combined)
+            plan.append((op, w, ow))
+            swaps.append(jnp.asarray(swap))
+            comps.append(jnp.asarray(comp))
+            cur_neg = np.isin(answer_codes, (1, 2, 4)).astype(np.int64)
+            cur_w = ow
+
+        result = _chain_exec(
+            self.dck,
+            tuple(o.value for o in operands),
+            tuple(swaps), tuple(comps), tuple(plan),
+            fz.adder_mode(), fz.mul_mode(),
+        )
+        final_op = ops[-1]
+        return self._finish_answer(
+            final_op, plan[-1][1], cur_w, answer_codes, combined,
+            result, operands[0].carry_word,
+        )
 
 
 def decrypt_answer(

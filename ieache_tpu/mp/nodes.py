@@ -362,7 +362,34 @@ class CloudNode:
         return wire.operand_from_bytes(blob)
 
     def run_job(self, postfix: str):
-        """Walk the expression; returns (answer Operand, final op)."""
+        """Walk the expression; returns (answer Operand, final op).
+
+        Left-fold expressions (the only multi-op shape the wire cap
+        admits) compile to ONE circuit via compute_chain; anything
+        else falls back to the per-op postfix walk.  IEACHE_CHAIN=0
+        forces the per-op walk (the reference's one-./cloud-run-per-op
+        structure, `dragonfly_cipher_cloud.py:1219-1327`)."""
+        import os
+
+        log.info("cloud: running job %s", postfix)
+        chain = scheduler.left_chain(postfix)
+        if chain and len(chain[1]) > 1 and \
+                os.environ.get("IEACHE_CHAIN", "1") != "0":
+            letters, op_chars = chain
+            operands = [self._fetch(letter) for letter in letters]
+            before = self.evaluator.gate_count
+            with self.trace.span("compute_chain", ops="".join(op_chars)):
+                ans, info = self.evaluator.compute_chain(
+                    [scheduler.OPCODES[c] for c in op_chars], operands
+                )
+            self.trace.count("bootstraps",
+                             self.evaluator.gate_count - before)
+            self.timings.append(
+                {**info, "op": "".join(op_chars),
+                 "seconds": self.trace.spans[-1]["seconds"]}
+            )
+            return ans, op_chars[-1]
+
         def compute(op_char, a, b):
             before = self.evaluator.gate_count
             with self.trace.span(f"compute:{op_char}"):
@@ -377,7 +404,6 @@ class CloudNode:
             )
             return ans
 
-        log.info("cloud: running job %s", postfix)
         return scheduler.walk_postfix(postfix, self._fetch, compute)
 
     def start_job_server(self, host="127.0.0.1", port=0):

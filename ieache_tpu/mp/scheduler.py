@@ -56,6 +56,37 @@ def parse_postfix(postfix: str):
     return operands, ops
 
 
+def left_chain(postfix: str):
+    """Detect a pure left-fold postfix ``L1 L2 op (L3 op)*`` —
+    the only shape the 3-operand/2-operator wire cap admits besides
+    trivia — and return (letters_in_order, op_chars), or None.
+
+    A left chain can run as ONE compiled circuit
+    (`CloudEvaluator.compute_chain`) instead of per-op dispatches.
+    """
+    toks = list(postfix)
+    if len(toks) < 3 or not (toks[0].isalpha() and toks[1].isalpha()):
+        return None
+    letters, ops = toks[:2], []
+    i = 2
+    while i < len(toks):
+        if toks[i] not in OPCODES:
+            return None
+        ops.append(toks[i])
+        i += 1
+        if i == len(toks):
+            break
+        if not toks[i].isalpha():
+            return None
+        letters.append(toks[i])
+        i += 1
+    else:
+        return None  # ended on a letter, not an operator
+    if len(letters) != len(ops) + 1:
+        return None
+    return letters, ops
+
+
 def walk_postfix(postfix: str, fetch_operand, compute):
     """Evaluate a postfix expression over encrypted operands.
 

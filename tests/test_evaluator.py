@@ -176,6 +176,86 @@ def test_invalid_negativity_code_rejected():
         pass
 
 
+def test_compute_chain_matches_sequential():
+    """compute_chain (one dispatch) must be observably equivalent to
+    sequential compute() calls, including mixed per-lane signs."""
+    pair, cloud = _setup()
+    s = prng.key_from_seed_words([0xC4A])
+    # intermediate codes stay in {0, 4} (magnitude representations) so
+    # true-math assertions hold; chained {1, 2}-code intermediates are
+    # a reference representation hazard covered below
+    a_vals, b_vals, c_vals = [3, -9, 7], [5, -5, 2], [10, -4, 6]
+    ops3 = [ev.OP_ADD, ev.OP_SUB]
+
+    def enc(vals, i, w=8):
+        return ev.encrypt_operand(pair.main, pair.nbit, vals, w,
+                                  prng.derive(s, i))
+
+    a, b, c = enc(a_vals, 0), enc(b_vals, 1), enc(c_vals, 2)
+    ab, _ = cloud.compute(ops3[0], a, b)
+    seq, _ = cloud.compute(ops3[1], ab, c)
+    want = ev.decrypt_answer(pair.main, pair.nbit, seq, ops3[1])
+
+    chained, info = cloud.compute_chain(ops3, [a, b, c])
+    got = ev.decrypt_answer(pair.main, pair.nbit, chained, ops3[1])
+    assert got == want
+    assert want == [x + y - z
+                    for x, y, z in zip(a_vals, b_vals, c_vals)]
+
+    # with a multiply as the final op: (A - B) * C
+    am, bm, cm = enc([6, 8], 3, 4), enc([2, 3], 4, 4), enc([5, -7], 5, 4)
+    ab2, _ = cloud.compute(ev.OP_SUB, am, bm)
+    seq2, _ = cloud.compute(ev.OP_MUL, ab2, cm)
+    want2 = ev.decrypt_answer(pair.main, pair.nbit, seq2, ev.OP_MUL)
+    ch2, _ = cloud.compute_chain([ev.OP_SUB, ev.OP_MUL], [am, bm, cm])
+    got2 = ev.decrypt_answer(pair.main, pair.nbit, ch2, ev.OP_MUL)
+    assert got2 == want2 == [(6 - 2) * 5, (8 - 3) * -7]
+
+
+def test_compute_chain_equivalent_on_representation_hazard_lanes():
+    """Chained {1,2}/sub-4 code intermediates are re-read as
+    magnitudes — a representation hazard the reference shares (its
+    chained answers carry op-dependent sign semantics that the next
+    ./cloud run flattens to "negative iff code in {1,2,4}",
+    `cloud.c:780-827` + `verif.c:132-166`).  The chain path must
+    replicate sequential behavior EXACTLY on those lanes too."""
+    pair, cloud = _setup()
+    s = prng.key_from_seed_words([0xC4B])
+
+    def enc(vals, i, w=8):
+        return ev.encrypt_operand(pair.main, pair.nbit, vals, w,
+                                  prng.derive(s, i))
+
+    # lane 1: -9+5 -> code-1 two's complement; lane 2: 7-2 via ADD of
+    # (7, -2) -> code-2 two's complement
+    a, b, c = enc([3, -9, 7], 0), enc([5, 5, -2], 1), enc([10, -4, 6], 2)
+    ab, _ = cloud.compute(ev.OP_ADD, a, b)
+    seq, _ = cloud.compute(ev.OP_SUB, ab, c)
+    want = ev.decrypt_answer(pair.main, pair.nbit, seq, ev.OP_SUB)
+    chained, _ = cloud.compute_chain([ev.OP_ADD, ev.OP_SUB], [a, b, c])
+    got = ev.decrypt_answer(pair.main, pair.nbit, chained, ev.OP_SUB)
+    assert got == want
+
+
+def test_chained_answer_zero_extends_to_wider_operand():
+    """A narrow chained answer meeting a wider third operand must
+    zero-extend (the answer keeps only out_width bits in memory; the
+    reference's on-disk answers are always 8 slots, cloud.c:899-916)."""
+    pair, cloud = _setup()
+    s = prng.key_from_seed_words([0xE7])
+    a = ev.encrypt_operand(pair.main, pair.nbit, [3, 4], 4,
+                           prng.derive(s, 0))
+    b = ev.encrypt_operand(pair.main, pair.nbit, [5, 6], 4,
+                           prng.derive(s, 1))
+    c = ev.encrypt_operand(pair.main, pair.nbit, [200, 100], 8,
+                           prng.derive(s, 2))
+    ab, info = cloud.compute(ev.OP_ADD, a, b)       # 4-bit answer
+    assert info["out_width"] == 4
+    abc, _ = cloud.compute(ev.OP_ADD, ab, c)        # widened to 8
+    got = ev.decrypt_answer(pair.main, pair.nbit, abc, ev.OP_ADD)
+    assert got == [3 + 5 + 200, 4 + 6 + 100]
+
+
 def test_answer_chains_as_operand():
     """answer layout == operand layout (compute_final chaining,
     dragonfly_cipher_cloud.py:1300-1327)."""

@@ -85,6 +85,27 @@ def test_full_flow_three_operand_chain():
     )
     # (30+12)-50 = -8 ; (1+2)-3 = 0
     assert res.values == [-8, 0]
+    # the left-fold job compiles to ONE chained circuit by default
+    assert len(res.timings) == 1 and res.timings[0]["op"] == "+-"
+
+
+def test_full_flow_three_operand_unchained():
+    """IEACHE_CHAIN=0 forces the reference's per-op walk."""
+    import os
+
+    from ieache_tpu.mp import sim
+
+    os.environ["IEACHE_CHAIN"] = "0"
+    try:
+        res = sim.run_full_flow(
+            "AB+C-",
+            {"A": [30], "B": [12], "C": [50]},
+            width=8,
+            params=P.TEST_TINY,
+        )
+    finally:
+        del os.environ["IEACHE_CHAIN"]
+    assert res.values == [-8]
     assert len(res.timings) == 2
 
 

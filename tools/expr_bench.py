@@ -99,18 +99,25 @@ def main():
         a, b, c = (dbatch.shard_operand(x, mesh) for x in (a, b, c))
     t_enc = time.time() - t_enc0
 
+    # EB_CHAIN=1 (default): the whole expression as ONE compiled
+    # circuit (compute_chain); EB_CHAIN=0 = per-op dispatches
+    use_chain = os.environ.get("EB_CHAIN", "1") != "0"
+
     def run_expr():
         if expr == "add_sub":     # A + B - C
-            ab, _ = cloud.compute(ev.OP_ADD, a, b)
-            ans, _ = cloud.compute(ev.OP_SUB, ab, c)
+            ops = [ev.OP_ADD, ev.OP_SUB]
             want = [int(x) + int(y) - int(z)
                     for x, y, z in zip(a_vals, b_vals, c_vals)]
-            return ans, want, ev.OP_SUB
-        ab, _ = cloud.compute(ev.OP_SUB, a, b)   # (A - B) * C
-        ans, _ = cloud.compute(ev.OP_MUL, ab, c)
-        want = [(int(x) - int(y)) * int(z)
-                for x, y, z in zip(a_vals, b_vals, c_vals)]
-        return ans, want, ev.OP_MUL
+        else:                     # (A - B) * C
+            ops = [ev.OP_SUB, ev.OP_MUL]
+            want = [(int(x) - int(y)) * int(z)
+                    for x, y, z in zip(a_vals, b_vals, c_vals)]
+        if use_chain:
+            ans, _ = cloud.compute_chain(ops, [a, b, c])
+        else:
+            ab, _ = cloud.compute(ops[0], a, b)
+            ans, _ = cloud.compute(ops[1], ab, c)
+        return ans, want, ops[-1]
 
     # cold pass (includes jit compiles), then a warm pass = the
     # steady-state serving rate
@@ -135,6 +142,7 @@ def main():
         "batch": batch,
         "width": width,
         "adder": adder,
+        "chained": use_chain,
         "seconds_warm": round(warm, 2),
         "seconds_cold_incl_compile": round(cold, 2),
         "seconds_encrypt": round(t_enc, 2),
