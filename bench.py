@@ -49,7 +49,10 @@ def main():
                      f"{['tiny', *choices]}, got {pname!r}")
         p = choices[pname]
         batch = int(os.environ.get("BENCH_BATCH", 1024))
-    iters = int(os.environ.get("BENCH_ITERS", 6))
+    # 16 iterations keep run-to-run spread under a few % (round-1's
+    # iters=6 showed ~10% between captures of the same build —
+    # per-dispatch tunnel jitter, amortize it away)
+    iters = int(os.environ.get("BENCH_ITERS", 16))
 
     cache_dir = os.path.join(os.path.dirname(__file__), ".keycache")
     os.makedirs(cache_dir, exist_ok=True)

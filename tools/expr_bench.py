@@ -99,25 +99,30 @@ def main():
         a, b, c = (dbatch.shard_operand(x, mesh) for x in (a, b, c))
     t_enc = time.time() - t_enc0
 
-    # EB_CHAIN=1 (default): the whole expression as ONE compiled
+    # EB_CHAIN=1 (default): left-fold expressions run as ONE compiled
     # circuit (compute_chain); EB_CHAIN=0 = per-op dispatches
     use_chain = os.environ.get("EB_CHAIN", "1") != "0"
 
     def run_expr():
-        if expr == "add_sub":     # A + B - C
+        if expr == "add_sub":     # A + B - C   (postfix AB+C-)
             ops = [ev.OP_ADD, ev.OP_SUB]
             want = [int(x) + int(y) - int(z)
                     for x, y, z in zip(a_vals, b_vals, c_vals)]
-        else:                     # (A - B) * C
-            ops = [ev.OP_SUB, ev.OP_MUL]
-            want = [(int(x) - int(y)) * int(z)
-                    for x, y, z in zip(a_vals, b_vals, c_vals)]
-        if use_chain:
-            ans, _ = cloud.compute_chain(ops, [a, b, c])
-        else:
-            ab, _ = cloud.compute(ops[0], a, b)
-            ans, _ = cloud.compute(ops[1], ab, c)
-        return ans, want, ops[-1]
+            if use_chain:
+                ans, _ = cloud.compute_chain(ops, [a, b, c])
+            else:
+                ab, _ = cloud.compute(ops[0], a, b)
+                ans, _ = cloud.compute(ops[1], ab, c)
+            return ans, want, ops[-1]
+        # A - B * C  (postfix ABC*-: multiply binds first — the tree
+        # the reference CLI actually produces; (A-B)*C is inexpressible
+        # there, and its negative A-B intermediates would hit the
+        # two's-complement-as-magnitude chaining hazard)
+        want = [int(x) - int(y) * int(z)
+                for x, y, z in zip(a_vals, b_vals, c_vals)]
+        bc, _ = cloud.compute(ev.OP_MUL, b, c)
+        ans, _ = cloud.compute(ev.OP_SUB, a, bc)
+        return ans, want, ev.OP_SUB
 
     # cold pass (includes jit compiles), then a warm pass = the
     # steady-state serving rate
@@ -138,7 +143,7 @@ def main():
         "metric": "expressions_per_sec",
         "value": round(batch / warm, 3),
         "unit": "expr/s",
-        "expr": "A+B-C" if expr == "add_sub" else "(A-B)*C",
+        "expr": "A+B-C" if expr == "add_sub" else "A-B*C",
         "batch": batch,
         "width": width,
         "adder": adder,
