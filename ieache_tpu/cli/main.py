@@ -181,9 +181,15 @@ def cmd_expr(args):
               "unimplemented, as in the reference)")
     values = {}
     for letter, v in zip(letters, args.values):
-        values[letter] = [int(v)]
+        # comma-separated lists evaluate a whole batch of expressions
+        # in one run (e.g. `expr "A + B" 1,2,3 10,20,30`)
+        values[letter] = [int(x) for x in str(v).split(",")]
     if len(values) != len(letters):
         print(f"need {len(letters)} values for {letters}")
+        sys.exit(1)
+    lens = {len(v) for v in values.values()}
+    if len(lens) != 1:
+        print("all operands need the same number of batch values")
         sys.exit(1)
     from ieache_tpu.utils import trace
 
@@ -198,7 +204,8 @@ def cmd_expr(args):
         {"name": f"compute:{t['op']}", **t} for t in res.timings
     )
     print(f"Postfix Expression: {postfix}")
-    print(f"Answer: {res.values[0]}")
+    for v in res.values:
+        print(f"Answer: {v}")
     print(f"Total Time: {tim.total('expr'):.3f}s  "
           f"(bootstrapped gates: {res.gate_count})")
     tim.dump("timings.txt")  # output_dynamic.py:736-743
