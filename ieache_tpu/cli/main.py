@@ -236,7 +236,9 @@ def cmd_serve(args):
     from ieache_tpu.utils import log as ulog
 
     ulog.setup("ieache", logfile=args.logfile)
-    cfg = NetworkConfig(password=args.password)
+    # long-lived servers retry connects for ~60 s: peer processes may
+    # still be importing jax / generating keys when this role starts
+    cfg = NetworkConfig(password=args.password, connect_retries=300)
 
     def addr(s, default_port):
         host, _, port = s.partition(":")
