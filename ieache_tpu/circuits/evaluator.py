@@ -178,19 +178,26 @@ def _take_width(val: jnp.ndarray, width: int, n: int) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("plan", "amode", "mmode"))
 def _chain_exec(dck, vals, swaps, comps, plan, amode, mmode):
-    """Execute a planned left-fold op chain inside one trace.
+    """Execute a planned expression DAG inside one trace.
 
-    plan: tuple of (op, width, out_width) per step (static); vals the
-    operand value words; swaps/comps the per-step per-lane dataflow
-    masks from :func:`_sign_plan`.
+    plan (static): tuple of (op, width, out_width, lhs, rhs) per step,
+    where lhs/rhs reference either an input operand ("opnd", i) or an
+    earlier step's output ("step", j).  vals are the operand value
+    words; swaps/comps the per-step per-lane dataflow masks from
+    :func:`_sign_plan`.
     """
     from ieache_tpu.circuits import fused as fz
 
     n = dck.params.n
-    cur = vals[0]
-    for k, (op, w, ow) in enumerate(plan):
-        x = _take_width(cur, w, n)
-        bv = _take_width(vals[k + 1], w, n)
+    outs = []
+
+    def val_of(ref):
+        kind, i = ref
+        return vals[i] if kind == "opnd" else outs[i]
+
+    for k, (op, w, ow, lhs, rhs) in enumerate(plan):
+        x = _take_width(val_of(lhs), w, n)
+        bv = _take_width(val_of(rhs), w, n)
         if op == OP_MUL:
             if mmode == "csa":
                 cur = fz.schoolbook_mul_csa(x, bv, dck)
@@ -204,7 +211,8 @@ def _chain_exec(dck, vals, swaps, comps, plan, amode, mmode):
             y = jnp.where(cm, arith.not_word(y), y)
             ci = gates.CONSTANT(comps[k].astype(jnp.int32), n)
             cur, _ = fz.ripple_add(a_, y, ci, dck, amode)
-    return cur
+        outs.append(cur)
+    return outs[-1]
 
 
 class CloudEvaluator:
@@ -374,8 +382,22 @@ class CloudEvaluator:
         return answer, info
 
     def compute_chain(self, ops: list, operands: list):
-        """A whole left-fold expression ``(((o0 op0 o1) op1 o2) ...)``
-        as ONE jitted dispatch.
+        """A left-fold expression ``(((o0 op0 o1) op1 o2) ...)`` as
+        ONE jitted dispatch (thin wrapper over :meth:`compute_steps`)."""
+        if len(operands) != len(ops) + 1:
+            raise ValueError("chain needs len(ops)+1 operands")
+        steps = [(ops[0], ("opnd", 0), ("opnd", 1))]
+        for k in range(1, len(ops)):
+            steps.append((ops[k], ("step", k - 1), ("opnd", k + 1)))
+        return self.compute_steps(steps, operands)
+
+    def compute_steps(self, steps: list, operands: list):
+        """A whole expression DAG as ONE jitted dispatch.
+
+        steps: [(op, lhs, rhs)] where lhs/rhs reference an input
+        operand ("opnd", i) or an earlier step ("step", j<k) — the
+        output of scheduler.plan_postfix for any valid postfix
+        (left folds like AB+C- and mul-first trees like ABC*-).
 
         Observably equivalent to sequential :meth:`compute` calls
         (pinned by tests/test_evaluator.py) minus the per-step
@@ -387,8 +409,6 @@ class CloudEvaluator:
         every step's answer code is a pure function of the operands'
         cleartext negativity metadata.
         """
-        if len(operands) != len(ops) + 1:
-            raise ValueError("chain needs len(ops)+1 operands")
         from ieache_tpu.circuits import fused as fz
 
         nbit = self.nbit_ks
@@ -400,15 +420,24 @@ class CloudEvaluator:
         batch = operands[0].batch
         pb = fz.ADDER_BOOTSTRAPS_PER_BIT[fz.adder_mode()]
 
+        step_codes, step_w = [], []
+
+        def code_of(ref):
+            return (negs[ref[1]] if ref[0] == "opnd"
+                    else step_codes[ref[1]])
+
+        def w_of(ref):
+            return (bitws[ref[1]] if ref[0] == "opnd"
+                    else step_w[ref[1]])
+
         plan, swaps, comps = [], [], []
-        cur_neg = _normalized_neg(negs[0])
-        cur_w = bitws[0]
         answer_codes = combined = None
-        for k, op in enumerate(ops):
-            n2 = _normalized_neg(negs[k + 1])
-            combined = cur_neg + 2 * n2
+        for op, lhs, rhs in steps:
+            n1 = _normalized_neg(code_of(lhs))
+            n2 = _normalized_neg(code_of(rhs))
+            combined = n1 + 2 * n2
             answer_codes = np.array([0, 1, 2, 4])[combined]
-            w = max(cur_w, bitws[k + 1])
+            w = max(w_of(lhs), w_of(rhs))
             ow = w
             if op == OP_MUL:
                 if w >= 256:
@@ -422,11 +451,11 @@ class CloudEvaluator:
             else:
                 raise ValueError(f"bad op {op}")
             swap, comp = _sign_plan(op, combined)
-            plan.append((op, w, ow))
+            plan.append((op, w, ow, lhs, rhs))
             swaps.append(jnp.asarray(swap))
             comps.append(jnp.asarray(comp))
-            cur_neg = np.isin(answer_codes, (1, 2, 4)).astype(np.int64)
-            cur_w = ow
+            step_codes.append(answer_codes)
+            step_w.append(ow)
 
         result = _chain_exec(
             self.dck,
@@ -434,9 +463,9 @@ class CloudEvaluator:
             tuple(swaps), tuple(comps), tuple(plan),
             fz.adder_mode(), fz.mul_mode(),
         )
-        final_op = ops[-1]
+        final_op = steps[-1][0]
         return self._finish_answer(
-            final_op, plan[-1][1], cur_w, answer_codes, combined,
+            final_op, plan[-1][1], step_w[-1], answer_codes, combined,
             result, operands[0].carry_word,
         )
 

@@ -372,15 +372,17 @@ class CloudNode:
         import os
 
         log.info("cloud: running job %s", postfix)
-        chain = scheduler.left_chain(postfix)
-        if chain and len(chain[1]) > 1 and \
+        letters, op_chars, steps = scheduler.plan_postfix(postfix)
+        if len(steps) > 1 and \
                 os.environ.get("IEACHE_CHAIN", "1") != "0":
-            letters, op_chars = chain
             operands = [self._fetch(letter) for letter in letters]
+            ev_steps = [
+                (scheduler.OPCODES[c], lhs, rhs) for c, lhs, rhs in steps
+            ]
             before = self.evaluator.gate_count
             with self.trace.span("compute_chain", ops="".join(op_chars)):
-                ans, info = self.evaluator.compute_chain(
-                    [scheduler.OPCODES[c] for c in op_chars], operands
+                ans, info = self.evaluator.compute_steps(
+                    ev_steps, operands
                 )
             self.trace.count("bootstraps",
                              self.evaluator.gate_count - before)

@@ -56,35 +56,36 @@ def parse_postfix(postfix: str):
     return operands, ops
 
 
-def left_chain(postfix: str):
-    """Detect a pure left-fold postfix ``L1 L2 op (L3 op)*`` —
-    the only shape the 3-operand/2-operator wire cap admits besides
-    trivia — and return (letters_in_order, op_chars), or None.
+def plan_postfix(postfix: str):
+    """Compile a postfix expression to an evaluation plan.
 
-    A left chain can run as ONE compiled circuit
-    (`CloudEvaluator.compute_chain`) instead of per-op dispatches.
+    Returns (letters_in_order, op_chars_in_order, steps) where steps
+    is [(op_char, lhs, rhs)] with refs ("opnd", letter_index) /
+    ("step", step_index) — the input of
+    `CloudEvaluator.compute_steps`, which runs the WHOLE expression as
+    one compiled circuit (left folds like AB+C- and mul-first trees
+    like ABC*- alike).  Raises JobError on malformed postfix or wire
+    caps, like walk_postfix.
     """
-    toks = list(postfix)
-    if len(toks) < 3 or not (toks[0].isalpha() and toks[1].isalpha()):
-        return None
-    letters, ops = toks[:2], []
-    i = 2
-    while i < len(toks):
-        if toks[i] not in OPCODES:
-            return None
-        ops.append(toks[i])
-        i += 1
-        if i == len(toks):
-            break
-        if not toks[i].isalpha():
-            return None
-        letters.append(toks[i])
-        i += 1
-    else:
-        return None  # ended on a letter, not an operator
-    if len(letters) != len(ops) + 1:
-        return None
-    return letters, ops
+    parse_postfix(postfix)  # validate caps
+    letters, steps, stack = [], [], []
+    for ch in postfix:
+        if ch.isalpha():
+            if ch not in letters:
+                letters.append(ch)
+            stack.append(("opnd", letters.index(ch)))
+        elif ch in OPCODES:
+            if len(stack) < 2:
+                raise JobError(f"malformed postfix {postfix!r}")
+            rhs = stack.pop()
+            lhs = stack.pop()
+            steps.append((ch, lhs, rhs))
+            stack.append(("step", len(steps) - 1))
+        else:
+            raise JobError(f"bad token {ch!r}")
+    if len(stack) != 1 or stack[0][0] != "step":
+        raise JobError(f"malformed postfix {postfix!r}")
+    return letters, [s[0] for s in steps], steps
 
 
 def walk_postfix(postfix: str, fetch_operand, compute):

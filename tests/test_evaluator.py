@@ -212,6 +212,33 @@ def test_compute_chain_matches_sequential():
     assert got2 == want2 == [(6 - 2) * 5, (8 - 3) * -7]
 
 
+def test_compute_steps_mul_first_tree():
+    """A - B*C (postfix ABC*-): the multiply-first tree the reference
+    CLI produces, as one compiled circuit — matches sequential and
+    true math (operands stay magnitudes; only the final sub crosses
+    zero, which decrypts signed)."""
+    pair, cloud = _setup()
+    s = prng.key_from_seed_words([0xABC])
+
+    def enc(vals, i):
+        return ev.encrypt_operand(pair.main, pair.nbit, vals, 8,
+                                  prng.derive(s, i))
+
+    a_vals, b_vals, c_vals = [7, 100, 3], [3, 5, 9], [2, 9, 8]
+    a, b, c = enc(a_vals, 0), enc(b_vals, 1), enc(c_vals, 2)
+    bc, _ = cloud.compute(ev.OP_MUL, b, c)
+    seq, _ = cloud.compute(ev.OP_SUB, a, bc)
+    want = ev.decrypt_answer(pair.main, pair.nbit, seq, ev.OP_SUB)
+
+    steps = [(ev.OP_MUL, ("opnd", 1), ("opnd", 2)),
+             (ev.OP_SUB, ("opnd", 0), ("step", 0))]
+    ch, info = cloud.compute_steps(steps, [a, b, c])
+    got = ev.decrypt_answer(pair.main, pair.nbit, ch, ev.OP_SUB)
+    assert got == want == [x - y * z for x, y, z in
+                           zip(a_vals, b_vals, c_vals)]
+    assert info["out_width"] == 16
+
+
 def test_compute_chain_equivalent_on_representation_hazard_lanes():
     """Chained {1,2}/sub-4 code intermediates are re-read as
     magnitudes — a representation hazard the reference shares (its

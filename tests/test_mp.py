@@ -109,6 +109,33 @@ def test_full_flow_three_operand_unchained():
     assert len(res.timings) == 2
 
 
+def test_plan_postfix_shapes():
+    letters, op_chars, steps = scheduler.plan_postfix("AB+C-")
+    assert letters == ["A", "B", "C"] and op_chars == ["+", "-"]
+    assert steps == [("+", ("opnd", 0), ("opnd", 1)),
+                     ("-", ("step", 0), ("opnd", 2))]
+    # mul-first tree: A - B*C
+    letters, op_chars, steps = scheduler.plan_postfix("ABC*-")
+    assert steps == [("*", ("opnd", 1), ("opnd", 2)),
+                     ("-", ("opnd", 0), ("step", 0))]
+    with pytest.raises(scheduler.JobError):
+        scheduler.plan_postfix("AB+-")
+
+
+def test_full_flow_mul_first_tree():
+    """A - B * C through the six-role flow (postfix ABC*-)."""
+    from ieache_tpu.mp import sim
+
+    res = sim.run_full_flow(
+        "ABC*-",
+        {"A": [100], "B": [5], "C": [9]},
+        width=8,
+        params=P.TEST_TINY,
+    )
+    assert res.values == [100 - 5 * 9]
+    assert res.timings[0]["op"] == "*-"
+
+
 def test_key_transfer_digest_mismatch_detected():
     """Tampered key material must fail the md5 cross-check
     (`dragonfly_private_keygen.py:676-680` semantics, made automatic)."""

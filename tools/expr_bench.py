@@ -120,8 +120,13 @@ def main():
         # two's-complement-as-magnitude chaining hazard)
         want = [int(x) - int(y) * int(z)
                 for x, y, z in zip(a_vals, b_vals, c_vals)]
-        bc, _ = cloud.compute(ev.OP_MUL, b, c)
-        ans, _ = cloud.compute(ev.OP_SUB, a, bc)
+        if use_chain:
+            steps = [(ev.OP_MUL, ("opnd", 1), ("opnd", 2)),
+                     (ev.OP_SUB, ("opnd", 0), ("step", 0))]
+            ans, _ = cloud.compute_steps(steps, [a, b, c])
+        else:
+            bc, _ = cloud.compute(ev.OP_MUL, b, c)
+            ans, _ = cloud.compute(ev.OP_SUB, a, bc)
         return ans, want, ev.OP_SUB
 
     # cold pass (includes jit compiles), then a warm pass = the
