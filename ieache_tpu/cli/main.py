@@ -21,8 +21,6 @@ import os
 import sys
 import time
 
-import numpy as np
-
 #: artifacts deleted by `reset` (the union of the three reset.py lists:
 #: Keygen/reset.py, Cloud/reset.py, Output/reset.py)
 RESET_PATTERNS = [
