@@ -25,6 +25,11 @@ import numpy as np
 
 def main():
     import jax
+
+    if os.environ.get("BENCH_FORCE_CPU"):
+        # plain JAX_PLATFORMS is ignored when a hardware plugin is
+        # pre-registered (CLAUDE.md); force through jax.config
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from ieache_tpu import params as P

@@ -1,0 +1,75 @@
+"""Smoke tests for the benchmark/probe CLIs (CPU, tiny params).
+
+The tools are the round drivers' measurement surface
+(bench.py / tools/*.py); these guard their JSON contracts and the
+errors==0 invariant so refactors can't silently rot them.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(cmd, env_extra, timeout=420):
+    env = dict(
+        os.environ,
+        PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        **env_extra,
+    )
+    out = subprocess.run(
+        [sys.executable] + cmd, cwd=REPO, env=env, timeout=timeout,
+        capture_output=True, text=True,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    lines = [ln for ln in out.stdout.splitlines()
+             if ln.startswith("{")]
+    assert lines, out.stdout + out.stderr
+    return [json.loads(ln) for ln in lines]
+
+
+@pytest.mark.slow
+def test_bench_smoke():
+    # BENCH_FORCE_CPU, not JAX_PLATFORMS: the env var is ignored when
+    # a hardware plugin is pre-registered (CLAUDE.md)
+    (rec,) = _run(["bench.py"],
+                  {"BENCH_PARAMS": "tiny", "BENCH_ITERS": "2",
+                   "BENCH_FORCE_CPU": "1"})
+    assert rec["metric"] == "gate_bootstraps_per_sec_per_chip"
+    assert rec["decrypt_errors"] == 0
+    assert rec["value"] > 0
+
+
+@pytest.mark.slow
+def test_width_bench_smoke():
+    (rec,) = _run(["tools/width_bench.py"],
+                  {"WB_FORCE_CPU": "1", "WB_PARAMS": "test_tiny",
+                   "WB_CASES": "mul32"})
+    assert rec["case"] == "mul32" and rec["errors"] == 0
+    assert rec["gates_per_pass"] > 0
+
+
+@pytest.mark.slow
+def test_expr_bench_smoke_both_exprs():
+    (rec,) = _run(["tools/expr_bench.py"],
+                  {"EB_FORCE_CPU": "1", "EB_PARAMS": "test_tiny",
+                   "EB_BATCH": "8", "EB_WIDTH": "8", "EB_DP": "8"})
+    assert rec["expr"] == "A+B-C" and rec["errors"] == 0
+    (rec,) = _run(["tools/expr_bench.py"],
+                  {"EB_FORCE_CPU": "1", "EB_PARAMS": "test_tiny",
+                   "EB_BATCH": "8", "EB_WIDTH": "8", "EB_DP": "8",
+                   "EB_EXPR": "add_mul"})
+    assert rec["expr"] == "A-B*C" and rec["errors"] == 0
+
+
+@pytest.mark.slow
+def test_scaling_bench_smoke():
+    recs = _run(["tools/scaling_bench.py"],
+                {"SB_FORCE_CPU": "1", "SB_PARAMS": "test_tiny",
+                 "SB_BATCH_PER_CHIP": "8", "SB_ITERS": "1"})
+    assert recs[-1]["metric"] == "scaling_efficiency"
+    assert all(r.get("errors", 0) == 0 for r in recs[:-1])
