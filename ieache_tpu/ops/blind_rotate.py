@@ -256,12 +256,30 @@ def blind_rotate(
                 [bara, jnp.zeros((pad, bara.shape[1]), bara.dtype)], 0
             )
 
-        def step_t(acc_t, xs):
-            bk_i, bara_i = xs
-            d_t = rot_diff_decompose_pallas(acc_t, bara_i, params)
-            return external_product_pallas_t(
-                d_t, bk_i, params, acc_t=acc_t
-            ), None
+        # IEACHE_PALLAS_STEP=fused2 runs the whole CMux step as ONE
+        # kernel (digits stay in VMEM scratch; acc fetched once per
+        # batch block); default "split" = the two-kernel pipeline.
+        # Measured on hardware (B=1024, λ=110 l2): bit-exact and
+        # performance-NEUTRAL (125.3 vs 125.2 ms/batch) — Mosaic
+        # already pipelines the split kernels' digit DMA; the ~40 ms
+        # gap to the pure-matmul floor is the rotation's VPU compute
+        # serialized with the MXU inside one instruction stream.
+        import os
+
+        if os.environ.get("IEACHE_PALLAS_STEP", "split") == "fused2":
+            from ieache_tpu.ops.pallas_kernels import cmux_step_pallas
+
+            def step_t(acc_t, xs):
+                bk_i, bara_i = xs
+                return cmux_step_pallas(acc_t, bara_i, bk_i,
+                                        params), None
+        else:
+            def step_t(acc_t, xs):
+                bk_i, bara_i = xs
+                d_t = rot_diff_decompose_pallas(acc_t, bara_i, params)
+                return external_product_pallas_t(
+                    d_t, bk_i, params, acc_t=acc_t
+                ), None
 
         acc_t0 = jnp.transpose(acc0, (1, 0, 2))
         acc_t, _ = jax.lax.scan(step_t, acc_t0, (bk, bara.T))

@@ -170,6 +170,143 @@ def external_product_pallas_t(
     return out                                    # (kp1, B, N)
 
 
+def _cmux_step_kernel(acc_ref, bara_ref, bk_ref, out_ref,
+                      dscratch, tscratch, *, n: int, chunk: int,
+                      log2_2n: int, bg_bit: int, l: int, offset: int,
+                      kp1: int):
+    """ONE fused CMux step for one batch block.
+
+    Grid (bblocks, kp1, rows), (kp1, rows) minor: the rotation + diff
+    + gadget decompose runs once per batch block (at o==0, p==0) into
+    a PERSISTENT digits scratch, and every (o, p) program does the
+    Toeplitz matmuls of `_ext_product_kernel` against its digit row —
+    digits never touch HBM and the accumulator block is fetched once
+    per batch block instead of once per kernel.
+
+    acc_ref:  (kp1, bb, N) int32 — full transposed accumulator block
+    bara_ref: (bb, 1) int32
+    bk_ref:   (1, 1, 1, N) int32 — this (p, o) BK polynomial
+    out_ref:  (1, bb, N) int32 — new accumulator slice for `o`
+    dscratch: (rows, bb, N) int8 persistent digits
+    tscratch: (chunk, 2N) int32 Toeplitz build space
+    """
+    o = pl.program_id(1)
+    p = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(o == 0, p == 0))
+    def _():
+        x0 = acc_ref[...]
+        amt = bara_ref[...]
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+        x = x0
+        shift = 1
+        for t in range(log2_2n):
+            bit = ((amt >> t) & 1)[None, :, :]
+            if shift < n:
+                rolled = pltpu.roll(x, shift, axis=2)
+                rolled = jnp.where(j < shift, -rolled, rolled)
+            else:                                  # X^N == -1
+                rolled = -x
+            x = jnp.where(bit != 0, rolled, x)
+            shift *= 2
+        v = (x - x0) + jnp.int32(offset)
+        half = 1 << (bg_bit - 1)
+        mask = (1 << bg_bit) - 1
+        for u in range(kp1):
+            vu = v[u]
+            for jl in range(l):
+                sh = 32 - (jl + 1) * bg_bit
+                d = ((vu >> sh) & mask) - half
+                dscratch[u * l + jl] = d.astype(jnp.int8)
+
+    @pl.when(p == 0)
+    def _():
+        out_ref[...] = acc_ref[pl.ds(o, 1)]        # seed: acc + ...
+
+    g = bk_ref[0, 0, :, :]                         # (1, N) int32
+    e = jnp.concatenate([-g, g], axis=1) + jnp.int32(_LIMB_BIAS)
+    d = dscratch[pl.ds(p, 1)][0]                   # (bb, N) int8
+
+    tscratch[0:1, :] = e
+    size = 1
+    while size < chunk:
+        tscratch[size:2 * size, :] = pltpu.roll(
+            tscratch[0:size, :], size, axis=1
+        )
+        size *= 2
+
+    for c in range(n // chunk):
+        if c > 0:
+            tscratch[:, :] = pltpu.roll(tscratch[:, :], chunk, axis=1)
+        x = tscratch[:, n:]                        # (chunk, N), biased
+        dc = d[:, c * chunk:(c + 1) * chunk]       # (bb, chunk) int8
+        for v in range(TORUS_LIMBS):
+            s = ((x >> (8 * v)) & 0xFF) - 128
+            part = jax.lax.dot_general(
+                dc, s.astype(jnp.int8),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            out_ref[0] += part << (8 * v)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "interpret")
+)
+def cmux_step_pallas(acc_t: jnp.ndarray, bara_i: jnp.ndarray,
+                     bk_i: jnp.ndarray, params: TFHEParams,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Fused CMux step: acc + BK ⊡ (X^bara·acc − acc) as ONE kernel.
+
+    acc_t (k+1, B, N) int32, bara_i (B,), bk_i (rows, k+1, N) int32
+    -> new acc_t.  Bit-identical to rot_diff_decompose_pallas +
+    external_product_pallas_t(acc_t=...) (tests/test_pallas_kernels);
+    selected by IEACHE_PALLAS_STEP=fused2 in blind_rotate.
+    """
+    if params.digit_limbs != 1:
+        raise ValueError("pallas path requires single-limb digits")
+    from ieache_tpu.ops.decompose import _offset
+
+    kp1, b, n = acc_t.shape
+    rows = params.trgsw_rows
+    if b % 8:
+        raise ValueError(f"batch {b} must be a multiple of 8")
+
+    off = _offset(params.bg_bit, params.l)
+    if off >= 2**31:
+        off -= 2**32
+
+    chunk = min(256, n)
+    bb = b
+    while bb > 256 or (b % bb):
+        bb //= 2
+
+    return pl.pallas_call(
+        functools.partial(
+            _cmux_step_kernel, n=n, chunk=chunk,
+            log2_2n=params.log2_2N, bg_bit=params.bg_bit,
+            l=params.l, offset=off, kp1=kp1,
+        ),
+        grid=(b // bb, kp1, rows),
+        in_specs=[
+            pl.BlockSpec((kp1, bb, n), lambda bi, o, p: (0, bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1), lambda bi, o, p: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, n), lambda bi, o, p: (p, o, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bb, n), lambda bi, o, p: (o, bi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kp1, b, n), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((rows, bb, n), jnp.int8),
+            pltpu.VMEM((chunk, 2 * n), jnp.int32),
+        ],
+        interpret=interpret,
+    )(acc_t, bara_i[:, None], bk_i[:, :, None, :])
+
+
 def _rot_diff_decompose_kernel(acc_ref, bara_ref, out_ref, *, n: int,
                                log2_2n: int, bg_bit: int, l: int,
                                offset: int, kp1: int):

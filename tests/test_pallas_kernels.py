@@ -112,6 +112,42 @@ def test_pallas_full_step_transposed_pipeline():
     np.testing.assert_array_equal(got, want)
 
 
+def test_pallas_fused2_step_matches_split_and_xla():
+    """cmux_step_pallas (single fused kernel) must be bit-identical to
+    the split rot_diff_decompose -> external_product_t pipeline and to
+    the XLA step."""
+    from ieache_tpu.ops.pallas_kernels import cmux_step_pallas
+
+    p = P.TEST_TINY
+    rng = np.random.RandomState(5)
+    b = 16
+    acc = rng.randint(-2**31, 2**31, (b, p.k + 1, p.N)).astype(np.int32)
+    bara = rng.randint(0, 2 * p.N, (b,)).astype(np.int32)
+    bk_i = rng.randint(-2**31, 2**31,
+                       (p.trgsw_rows, p.k + 1, p.N)).astype(np.int32)
+
+    acc_t = jnp.asarray(np.transpose(acc, (1, 0, 2)))
+    got = np.transpose(np.asarray(
+        cmux_step_pallas(acc_t, jnp.asarray(bara), jnp.asarray(bk_i),
+                         p, interpret=True)
+    ), (1, 0, 2))
+
+    d_t = rot_diff_decompose_pallas(acc_t, jnp.asarray(bara), p,
+                                    interpret=True)
+    split = np.transpose(np.asarray(
+        external_product_pallas_t(d_t, jnp.asarray(bk_i), p,
+                                  acc_t=acc_t, interpret=True)
+    ), (1, 0, 2))
+    np.testing.assert_array_equal(got, split)
+
+    want = np.asarray(
+        br.external_product_step(
+            jnp.asarray(acc), jnp.asarray(bara), jnp.asarray(bk_i), p
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_pallas_external_product_vs_schoolbook():
     p = P.TEST_TINY
     rng = np.random.RandomState(1)
