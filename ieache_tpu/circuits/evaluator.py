@@ -280,6 +280,11 @@ class CloudEvaluator:
         in fact one fewer add than the reference's NOT-then-add-one-
         then-add two's complement, `cloud.c:1225-1245`).
         """
+        if op == 3:
+            # the reference's orchestrator writes "4" to operator.txt
+            # for both opcode 3 and 4 (dragonfly_cipher_cloud.py:
+            # 1256-1273; the ACCC paper uses 3 for multiply)
+            op = OP_MUL
         nbit = self.nbit_ks
         neg1 = _decrypt_meta_value(nbit, a.neg_word)
         neg2 = _decrypt_meta_value(nbit, b.neg_word)
@@ -433,6 +438,8 @@ class CloudEvaluator:
         plan, swaps, comps = [], [], []
         answer_codes = combined = None
         for op, lhs, rhs in steps:
+            if op == 3:  # 3 and 4 both mean multiply (see compute())
+                op = OP_MUL
             n1 = _normalized_neg(code_of(lhs))
             n2 = _normalized_neg(code_of(rhs))
             combined = n1 + 2 * n2
@@ -482,6 +489,8 @@ def decrypt_answer(
       mul : 0,4 -> +mag ; 1,2 -> -mag
     (`verif.c:132-173,1424-1429` sign fix-up rules.)
     """
+    if op == 3:  # 3 and 4 both mean multiply (see CloudEvaluator.compute)
+        op = OP_MUL
     codes = _decrypt_meta_value(nbit_ks, answer.neg_word)
     widths = _decrypt_meta_value(nbit_ks, answer.bit_word)
     width = int(widths.max())

@@ -312,7 +312,7 @@ def build_parser():
     p.add_argument("operand_b")
     p.add_argument("--keys", default=".")
     p.add_argument("--op", type=int, default=1,
-                   help="1=add 2=sub 4=mul (operator.txt codes)")
+                   help="1=add 2=sub 4=mul, 3 accepted as mul (operator.txt codes)")
     p.add_argument("--operator-file", default=None)
     p.add_argument("--adder", default="ripple",
                    choices=["ripple", "kogge_stone"])

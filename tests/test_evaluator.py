@@ -63,6 +63,15 @@ def test_mul_all_sign_cases():
     assert got == [15, 143]
 
 
+def test_opcode_3_is_multiply():
+    """The reference's orchestrator writes "4" to operator.txt for
+    both opcode 3 and 4 (`dragonfly_cipher_cloud.py:1256-1273`; the
+    ACCC paper uses 3 for multiply) — accept 3 as mul everywhere."""
+    got, info = _run(3, [3, -11], [5, 13])
+    assert got == [15, -143]
+    assert info["out_width"] == 16
+
+
 def test_widths_differ_takes_max():
     """Operands with different declared bit counts: result width is
     max(bit1, bit2) (`cloud.c:832-855`), and the narrower operand's
