@@ -8,9 +8,12 @@ Parallelism surface (SURVEY §2 parallelism table):
   keyswitch contraction (kN*t) are sharded; each blind-rotation step
   ends in one ``psum`` over tp (XLA collectives over ICI), and the
   bootstrapping/keyswitch keys are memory-sharded accordingly;
-* ``pp``: pipeline parallelism lives at the scheduler level
-  (ieache_tpu/mp/scheduler.py) — expression stages across hosts, the
-  analog of the reference's Keygen->Client->Cloud->Output pipeline.
+* ``pp``: pipeline parallelism over expression-chain stages is
+  device-level in ieache_tpu/dist/pipeline.py (microbatched GPipe
+  schedule, ppermute handoff — the analog of the reference's
+  Cloud answer.data re-upload chain); the host-level counterpart of
+  the Keygen->Client->Cloud->Output pipeline is the scheduler
+  (ieache_tpu/mp/scheduler.py).
 """
 
 from __future__ import annotations
