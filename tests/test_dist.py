@@ -111,3 +111,27 @@ def test_sharded_bootstrap_tp4():
     np.testing.assert_array_equal(
         encrypt.decrypt_bits(ks, out), bits
     )
+
+
+def test_sharded_bootstrap_tp2_full_geometry():
+    """tp-sharded bootstrap at FULL production geometry (N=1024,
+    production noise scales; n shrunk for CPU runtime, as in
+    test_oracle_parity) — bit-exact vs the single-device pipeline.
+    VERDICT r1: tp>1 correctness previously rested on TEST_TINY only."""
+    import dataclasses
+
+    p = dataclasses.replace(P.IEACHE_110_FAST, n=32, name="fullgeo_l2")
+    ks = keygen.generate_secret_keyset(p)
+    dck = B.pack_cloud_key(ks.cloud)
+    bits = np.array([0, 1, 1, 0, 1, 1, 0, 0])
+    ct = jnp.asarray(
+        encrypt.encrypt_bits(ks, bits, prng.key_from_seed_words([6]))
+    )
+    ref = np.asarray(B.bootstrap(ct, dck))
+
+    m = dmesh.make_mesh(8, tp=2)
+    boot_fn = dshard.make_sharded_bootstrap(m, p)
+    bk, ksl = dshard.shard_cloud_key(dck, m)
+    out = np.asarray(boot_fn(dshard.shard_batch(ct, m), bk, ksl))
+    np.testing.assert_array_equal(out, ref)
+    np.testing.assert_array_equal(encrypt.decrypt_bits(ks, out), bits)
