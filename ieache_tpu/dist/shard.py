@@ -40,7 +40,12 @@ from ieache_tpu.boot.bootstrap import (
     sample_extract,
 )
 from ieache_tpu.core.poly import TORUS_LIMBS
-from ieache_tpu.ops.blind_rotate import blind_rotate_sharded
+from ieache_tpu.ops.blind_rotate import (
+    _dot_digits_g,
+    _step_digits,
+    blind_rotate_sharded,
+    make_step_gmatrix,
+)
 from ieache_tpu.ops.decompose import gadget_decompose
 from ieache_tpu.params import TFHEParams
 
@@ -106,6 +111,111 @@ def make_sharded_bootstrap(mesh: Mesh, params: TFHEParams, mu: int = MU):
             P(None, "tp", None, None),
             P(None, "tp", None),
         ),
+        out_specs=P("dp", None),
+    )
+    return jax.jit(mapped)
+
+
+def make_sp_mesh(n_devices: int, sp: int, devices=None) -> Mesh:
+    """(dp, sp) mesh: batch-parallel x polynomial-dimension-parallel."""
+    devices = list(devices or jax.devices())
+    if n_devices % sp:
+        raise ValueError(f"n_devices {n_devices} not divisible by {sp}")
+    arr = np.array(devices[:n_devices]).reshape(n_devices // sp, sp)
+    return Mesh(arr, axis_names=("dp", "sp"))
+
+
+def _external_product_step_sp(acc_local, bara_i, bk_i,
+                              params: TFHEParams, sp_axis: str):
+    """CMux step with the accumulator's polynomial axis N sharded.
+
+    This is the SURVEY §5.7 "true SP counterpart": the per-bootstrap
+    polynomial dimension is split over chips the way sequence
+    parallelism splits a long sequence, with one collective per stage
+    standing in for the NTT's butterfly all-to-all.  Each step:
+
+    1. ``all_gather`` the N-sharded accumulator over ``sp`` (the
+       negacyclic rotation mixes every coefficient, exactly like an
+       NTT stage);
+    2. rotate + diff + gadget-decompose on the gathered copy
+       (replicated work — it is ~1% of the step's FLOPs);
+    3. contract the digits against only the LOCAL column block of the
+       step's Toeplitz operand — the MXU work and the transient G
+       tensor (the real memory hog at ~50 MB/step single-device) both
+       shrink by the sp factor;
+    4. the output block IS this shard's new acc slice (no reduce
+       needed: the contraction is over rows x full-N, sharded on the
+       output axis j, unlike tp which shards the contraction axis and
+       psums).
+    """
+    n_local = acc_local.shape[-1]
+    acc_full = jax.lax.all_gather(
+        acc_local, sp_axis, axis=acc_local.ndim - 1, tiled=True
+    )                                                    # (B, k+1, N)
+    digits = _step_digits(acc_full, bara_i, params)      # (B, rows, N)
+    g = make_step_gmatrix(bk_i, params)        # (L, rows, kp1, N, N)
+    start = jax.lax.axis_index(sp_axis) * n_local
+    g_local = jax.lax.dynamic_slice_in_dim(g, start, n_local, 4)
+
+    out = jnp.zeros_like(acc_local)
+    if params.digit_limbs == 1:
+        d8 = digits.astype(jnp.int8)
+        for v in range(TORUS_LIMBS):
+            out = out + (_dot_digits_g(d8, g_local[v]) << (8 * v))
+    else:
+        from ieache_tpu.core.poly import split_i8_limbs
+
+        dl = split_i8_limbs(digits, params.digit_limbs)
+        for u in range(params.digit_limbs):
+            for v in range(TORUS_LIMBS):
+                sh = 8 * u + 8 * v
+                if sh >= 32:
+                    continue
+                out = out + (_dot_digits_g(dl[..., u], g_local[v]) << sh)
+    return acc_local + out
+
+
+def make_sharded_bootstrap_sp(mesh: Mesh, params: TFHEParams,
+                              mu: int = MU):
+    """Bootstrap with dp over the batch and sp over the polynomial
+    dimension N (keys replicated; one all_gather per blind-rotation
+    step rides the ICI).  Bit-exact vs the single-device pipeline
+    (tests/test_dist.py)."""
+    sp = mesh.shape["sp"]
+    if params.N % sp:
+        raise ValueError(f"sp={sp} must divide N={params.N}")
+    n_local = params.N // sp
+
+    def fn(lwe, bk, ks_limbs):
+        p = params
+        n = p.n
+        a, b = lwe[:, :n], lwe[:, n]
+        bara = mod_switch_2n(a, p)
+        barb = mod_switch_2n(b, p)
+        acc0 = jnp.zeros((lwe.shape[0], p.k + 1, p.N), jnp.int32)
+        acc0 = acc0.at[:, p.k, :].set(_rotated_test_vector(barb, mu, p))
+        start = jax.lax.axis_index("sp") * n_local
+        acc_local = jax.lax.dynamic_slice_in_dim(acc0, start, n_local, 2)
+
+        def step(acc, xs):
+            bk_i, bara_i = xs
+            return (
+                _external_product_step_sp(acc, bara_i, bk_i, p, "sp"),
+                None,
+            )
+
+        acc_local, _ = jax.lax.scan(step, acc_local, (bk, bara.T))
+        acc = jax.lax.all_gather(acc_local, "sp", axis=2, tiled=True)
+        ext = sample_extract(acc, p)
+        # keyswitch replicated across sp (one small matmul)
+        from ieache_tpu.ops.keyswitch import keyswitch
+
+        return keyswitch(ext, ks_limbs, p)
+
+    mapped = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P("dp", None), P(), P()),
         out_specs=P("dp", None),
     )
     return jax.jit(mapped)

@@ -135,3 +135,25 @@ def test_sharded_bootstrap_tp2_full_geometry():
     out = np.asarray(boot_fn(dshard.shard_batch(ct, m), bk, ksl))
     np.testing.assert_array_equal(out, ref)
     np.testing.assert_array_equal(encrypt.decrypt_bits(ks, out), bits)
+
+
+def test_sharded_bootstrap_sp_polynomial_axis():
+    """sp-sharded bootstrap: the accumulator's polynomial dimension N
+    split over 4 devices (one all_gather per blind-rotation step — the
+    SURVEY §5.7 "NTT stage all-to-all" analog), dp=2 over the batch.
+    Bit-exact vs the single-device pipeline."""
+    p = P.TEST_TINY
+    ks = keygen.generate_secret_keyset(p)
+    dck = B.pack_cloud_key(ks.cloud)
+    bits = np.array([1, 0, 1, 1, 0, 0, 1, 0])
+    ct = jnp.asarray(
+        encrypt.encrypt_bits(ks, bits, prng.key_from_seed_words([7]))
+    )
+    ref = np.asarray(B.bootstrap(ct, dck))
+
+    m = dshard.make_sp_mesh(8, sp=4)
+    assert m.shape == {"dp": 2, "sp": 4}
+    boot_fn = dshard.make_sharded_bootstrap_sp(m, p)
+    out = np.asarray(boot_fn(ct, dck.bk, dck.ks_limbs))
+    np.testing.assert_array_equal(out, ref)
+    np.testing.assert_array_equal(encrypt.decrypt_bits(ks, out), bits)
