@@ -359,8 +359,8 @@ class CloudEvaluator:
         """
         nbit = self.nbit_ks
         batch = result.shape[0]
-        stream = prng.key_from_seed_words(
-            [0xA27, op, width, int(answer_codes.sum()) & 0x7FFFFFFF]
+        stream = prng.fresh_stream(
+            0xA27, op, width, int(answer_codes.sum()) & 0x7FFFFFFF
         )
         neg_word = jnp.asarray(
             encrypt.encrypt_bits(

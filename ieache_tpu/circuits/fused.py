@@ -170,6 +170,22 @@ def add_then_sub(a, b_, c, key: DeviceCloudKey):
     return s
 
 
+def _like_vma(const: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
+    """Stamp `const` with `ref`'s varying-manual-axes (shard_map VMA).
+
+    Inside shard_map, a freshly built constant is device-invariant
+    while values derived from sharded inputs are axis-varying; a
+    lax.scan whose carry is initialized from the constant but updated
+    from sharded data then fails jax 0.9's VMA type check.  Adding a
+    zero scalar slice of `ref` (exact int32, folded by XLA) makes the
+    constant inherit `ref`'s vma; outside shard_map it is a no-op.
+    """
+    z = ref
+    while z.ndim > 0:
+        z = z[0]
+    return const + z * 0
+
+
 def _mul_shift_matrices(w: int, ow: int):
     """Shift one-hots: for round i, matrix (2W, W) with [i+k, k] = 1."""
     eye = jnp.eye(w, dtype=jnp.int32)
@@ -234,7 +250,9 @@ def schoolbook_mul_csa(x, y, key: DeviceCloudKey):
     n = key.params.n
     ow = 2 * w
 
-    zeros = gates.CONSTANT(jnp.zeros((b, ow), jnp.int32), n)
+    zeros = _like_vma(
+        gates.CONSTANT(jnp.zeros((b, ow), jnp.int32), n), x
+    )
     xf = x.reshape(b * w, m)
     ys = jnp.moveaxis(y, 1, 0)                 # (W, B, n+1)
     shift_mats = _mul_shift_matrices(w, ow)
@@ -255,7 +273,9 @@ def schoolbook_mul_csa(x, y, key: DeviceCloudKey):
 
     (s, c), _ = jax.lax.scan(round_step, (zeros, zeros),
                              (ys, shift_mats))
-    zero_bit = gates.CONSTANT(jnp.zeros((b,), jnp.int32), n)
+    zero_bit = _like_vma(
+        gates.CONSTANT(jnp.zeros((b,), jnp.int32), n), x
+    )
     out, _ = _ripple_add_fused(s, c, zero_bit, key, adder_mode())
     return out
 
@@ -291,8 +311,12 @@ def schoolbook_mul_fused(x, y, key: DeviceCloudKey):
     n = key.params.n
     ow = 2 * w
 
-    zero_bit = gates.CONSTANT(jnp.zeros((b,), jnp.int32), n)
-    acc0 = gates.CONSTANT(jnp.zeros((b, ow), jnp.int32), n)
+    zero_bit = _like_vma(
+        gates.CONSTANT(jnp.zeros((b,), jnp.int32), n), x
+    )
+    acc0 = _like_vma(
+        gates.CONSTANT(jnp.zeros((b, ow), jnp.int32), n), x
+    )
     xf = x.reshape(b * w, m)
     ys = jnp.moveaxis(y, 1, 0)  # (W, B, n+1)
     shift_mats = _mul_shift_matrices(w, ow)

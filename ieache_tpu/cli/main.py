@@ -87,8 +87,10 @@ def cmd_encrypt(args):
         os.path.join(args.keys, "nbit.key")
     )
     value, width = fixtures.read_values_txt(args.values)
-    stream = prng.key_from_seed_words([0xA11CE, int(time.time_ns() %
-                                                   2**31)])
+    if getattr(args, "seed", None) is not None:
+        stream = prng.key_from_seed_words([0xA11CE, args.seed])
+    else:
+        stream = prng.fresh_stream(0xA11CE)
     operand = ev.encrypt_operand(
         main_ks, nbit_ks, [value], width, stream
     )
@@ -245,13 +247,22 @@ def cmd_serve(args):
     port = args.port or (4380 if args.plane == "key" else 4381)
     if args.role == "keygen":
         node = nodes.KeygenNode(_params(args.params), cfg=cfg)
+        # bind first (generous admission wait: peer processes may
+        # still be importing jax when the first connections land),
+        # THEN discover — the liveness probes may target services
+        # that only answer once this server is up
+        node.start(args.bind, port, admit_timeout=300.0,
+                   defer_clients=bool(args.clients))
         if args.clients:
-            # ping-discovery before admission
-            # (dragonfly_private_keygen.py:685-689)
+            # ping-discovery gates admission: exactly the discovered
+            # clients get the secret keyset
+            # (dragonfly_private_keygen.py:685-689,704-728)
             hosts = args.clients.split(",")
             up = node.discover(hosts, port=args.discover_port or None)
             print(f"hostup: {len(up)}/{len(hosts)}", flush=True)
-        node.start(args.bind, port)
+            node.set_admitted_clients(
+                [f"client-{i + 1}" for i in range(len(up))]
+            )
         print(f"keygen serving on {args.bind}:{port}", flush=True)
         while len(node.served) < args.expect_peers:
             _t.sleep(0.5)
@@ -305,6 +316,9 @@ def build_parser():
     p.add_argument("--keys", default=".")
     p.add_argument("--values", default="values.txt")
     p.add_argument("--out", default="cloud.data")
+    p.add_argument("--seed", type=int, default=None,
+                   help="deterministic encryption stream (repro only; "
+                        "default draws from os.urandom)")
     p.set_defaults(fn=cmd_encrypt)
 
     p = sub.add_parser("cloud", help="evaluate one op (C10)")

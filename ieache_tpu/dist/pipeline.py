@@ -62,7 +62,8 @@ def make_pp_mesh(n_stages: int, devices=None) -> Mesh:
     return Mesh(np.array(devices[:n_stages]), axis_names=("pp",))
 
 
-def make_pipelined_chain(mesh: Mesh, params: TFHEParams, n_micro: int):
+def make_pipelined_chain(mesh: Mesh, params: TFHEParams, n_micro: int,
+                         stage_ops=None):
     """Build the jitted pipelined chain evaluator.
 
     Returns ``fn(flow0, operands, comps, bk, ks_limbs) -> result``:
@@ -73,30 +74,67 @@ def make_pipelined_chain(mesh: Mesh, params: TFHEParams, n_micro: int):
       over ``pp`` (stage s only ever touches its own slice);
     * ``comps``    (S, B) int32 — per-stage per-lane flags: 0 means
       ``flow + operand``, nonzero means ``flow - operand``
-      (two's-complement subtract riding the adder carry-in);
+      (two's-complement subtract riding the adder carry-in; ignored
+      by ``*`` stages);
     * ``bk``/``ks_limbs`` — DeviceCloudKey fields, replicated.
+
+    ``stage_ops`` assigns each stage its operator: a sequence of
+    ``'+'`` (add/sub, per-lane via comps) or ``'*'`` (carry-save
+    multiply, low-W product) per stage, default all ``'+'``.  This
+    covers the reference's benchmarked chain shapes A+B*C / A-B*C
+    (`AC058.pdf` Fig.7): postfix ``ABC*+`` is the chain
+    ``B (*C) (+A)`` = ``stage_ops=('*', '+')``.  Width stays fixed at
+    W; for reference mul width-doubling semantics run the chain at the
+    final output width with zero-extended operands (the evaluator's
+    width plan already computes it).  Mixed-op stages run under a
+    per-device ``lax.switch`` — each stage executes only its own
+    branch at runtime.
 
     Result (B, W, n+1) is the chain value mod 2^W, replicated (a psum
     collects it off the last stage).
     """
     n_stages = mesh.shape["pp"]
+    if stage_ops is None:
+        stage_ops = ("+",) * n_stages
+    stage_ops = tuple(stage_ops)
+    if len(stage_ops) != n_stages:
+        raise ValueError(
+            f"{len(stage_ops)} stage_ops for {n_stages} stages"
+        )
+    if any(o not in "+*" for o in stage_ops):
+        raise ValueError(f"stage_ops must be '+'/'*', got {stage_ops}")
+    op_codes = np.array(
+        [0 if o == "+" else 1 for o in stage_ops], np.int32
+    )
+    has_mul = bool(op_codes.any())
 
     def fn(flow0, operands, comps, bk, ks_limbs):
         dck = DeviceCloudKey(bk=bk, ks_limbs=ks_limbs, params=params)
         n = params.n
         b, w, m1 = flow0.shape
-        if b % n_micro:
-            raise ValueError(f"batch {b} not divisible by {n_micro}")
         mb = b // n_micro
         s_idx = jax.lax.axis_index("pp")
-        if operands.shape[0] != 1:
-            raise ValueError(
-                f"chain has {operands.shape[0] * n_stages} stages but "
-                f"the pp mesh axis has {n_stages} devices — they must "
-                "match (one stage per device)"
-            )
         my_ops = operands[0]                      # (B, W, n+1)
         my_comp = comps[0]                        # (B,)
+        my_code = jnp.asarray(op_codes)[s_idx]
+
+        def addsub_stage(inp, y, comp):
+            y = jnp.where((comp != 0)[:, None, None], gates.NOT(y), y)
+            out, _ = fused.ripple_add(
+                inp, y, gates.CONSTANT(comp, n), dck
+            )
+            return out
+
+        def mul_stage(inp, y, comp):
+            prod = fused.schoolbook_mul_csa(inp, y, dck)  # (mb, 2W, .)
+            return prod[:, :w, :]                 # low-W product
+
+        def stage_body(inp, y, comp):
+            if not has_mul:
+                return addsub_stage(inp, y, comp)
+            return jax.lax.switch(
+                my_code, [addsub_stage, mul_stage], inp, y, comp
+            )
 
         zeros_mb = jnp.zeros((mb, w, m1), jnp.int32)
         cur = zeros_mb          # value arriving at this stage this tick
@@ -120,10 +158,7 @@ def make_pipelined_chain(mesh: Mesh, params: TFHEParams, n_micro: int):
                 my_ops, (start, 0, 0), (mb, w, m1)
             )
             comp = jax.lax.dynamic_slice(my_comp, (start,), (mb,))
-            sub = (comp != 0)
-            y = jnp.where(sub[:, None, None], gates.NOT(y), y)
-            carry_in = gates.CONSTANT(comp, n)
-            out, _ = fused.ripple_add(inp, y, carry_in, dck)
+            out = stage_body(inp, y, comp)
 
             # record on the last stage (its tick-t microbatch is
             # t-(S-1); only valid ones land in outbuf)
@@ -153,20 +188,51 @@ def make_pipelined_chain(mesh: Mesh, params: TFHEParams, n_micro: int):
         ),
         out_specs=P(),
     )
-    return jax.jit(mapped)
+    jitted = jax.jit(mapped)
+
+    def call(flow0, operands, comps, bk, ks_limbs):
+        # validate GLOBAL shapes here, outside shard_map — inside,
+        # only the per-shard slice is visible, so a stage-count
+        # mismatch that isn't a multiple of the pp size would surface
+        # as an opaque sharding-divisibility error instead
+        if operands.shape[0] != n_stages:
+            raise ValueError(
+                f"chain has {operands.shape[0]} stages but the pp "
+                f"mesh axis has {n_stages} devices — they must match "
+                "(one stage per device)"
+            )
+        if comps.shape[0] != n_stages:
+            raise ValueError(
+                f"comps has {comps.shape[0]} stages, expected "
+                f"{n_stages}"
+            )
+        if flow0.shape[0] % n_micro:
+            raise ValueError(
+                f"batch {flow0.shape[0]} not divisible by "
+                f"n_micro={n_micro}"
+            )
+        return jitted(flow0, operands, comps, bk, ks_limbs)
+
+    return call
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
+@functools.partial(jax.jit, static_argnames=("params", "stage_ops"))
 def chain_unpipelined(flow0, operands, comps, bk, ks_limbs,
-                      params: TFHEParams):
+                      params: TFHEParams, stage_ops=None):
     """The same chain on one device (the bit-exactness reference)."""
     dck = DeviceCloudKey(bk=bk, ks_limbs=ks_limbs, params=params)
     n = params.n
+    w = flow0.shape[1]
+    if stage_ops is None:
+        stage_ops = ("+",) * operands.shape[0]
     out = flow0
     for s in range(operands.shape[0]):
         y, comp = operands[s], comps[s]
-        y = jnp.where((comp != 0)[:, None, None], gates.NOT(y), y)
-        out, _ = fused.ripple_add(
-            out, y, gates.CONSTANT(comp, n), dck
-        )
+        if stage_ops[s] == "*":
+            out = fused.schoolbook_mul_csa(out, y, dck)[:, :w, :]
+        else:
+            y = jnp.where((comp != 0)[:, None, None], gates.NOT(y), y)
+            out, _ = fused.ripple_add(
+                out, y, gates.CONSTANT(comp, n), dck
+            )
     return out

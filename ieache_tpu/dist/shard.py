@@ -140,9 +140,11 @@ def _external_product_step_sp(acc_local, bara_i, bk_i,
     2. rotate + diff + gadget-decompose on the gathered copy
        (replicated work — it is ~1% of the step's FLOPs);
     3. contract the digits against only the LOCAL column block of the
-       step's Toeplitz operand — the MXU work and the transient G
-       tensor (the real memory hog at ~50 MB/step single-device) both
-       shrink by the sp factor;
+       step's Toeplitz operand — the MXU contraction work shrinks by
+       the sp factor (the transient G tensor is still built full-size
+       per device and then sliced: XLA cannot fold a traced
+       axis_index start through the concat-doubling Toeplitz build,
+       so SP buys FLOPs, not peak transient memory);
     4. the output block IS this shard's new acc slice (no reduce
        needed: the contraction is over rows x full-N, sharded on the
        output axis j, unlike tp which shards the contraction axis and
@@ -205,7 +207,17 @@ def make_sharded_bootstrap_sp(mesh: Mesh, params: TFHEParams,
             )
 
         acc_local, _ = jax.lax.scan(step, acc_local, (bk, bara.T))
-        acc = jax.lax.all_gather(acc_local, "sp", axis=2, tiled=True)
+        # Recombine shards with scatter-into-zeros + psum instead of a
+        # tiled all_gather: the slices are disjoint so the sum IS the
+        # concatenation, and psum's output is statically known to be
+        # replicated over sp — jax 0.9's shard_map VMA check cannot
+        # infer that for an all_gather of axis_index-dependent slices
+        # (it rejected out_specs=P('dp', None) at trace time).
+        acc_full = jnp.zeros((lwe.shape[0], p.k + 1, p.N), jnp.int32)
+        acc_full = jax.lax.dynamic_update_slice_in_dim(
+            acc_full, acc_local, start, axis=2
+        )
+        acc = jax.lax.psum(acc_full, "sp")
         ext = sample_extract(acc, p)
         # keyswitch replicated across sp (one small matmul)
         from ieache_tpu.ops.keyswitch import keyswitch

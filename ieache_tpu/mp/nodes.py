@@ -174,33 +174,130 @@ class KeygenNode:
             kind="cloud_keyset",
         )
         self.served = []
+        self.refused = []
 
-    def start(self, host="127.0.0.1", port=0):
-        """Key-plane server: Output/clients get secret keys, Cloud gets
-        the evaluation key (+ the nbit secret keyset — the reference
-        hands Cloud the nbit *secret* key for metadata, SURVEY A)."""
+    def start(self, host="127.0.0.1", port=0,
+              clients: list | None = None, cloud_role: str = "cloud",
+              admit_timeout: float = 30.0,
+              defer_clients: bool = False):
+        """Key-plane server with enforced admission control.
+
+        The reference's secret-key server admits Output FIRST, then
+        exactly the ping-discovered clients, skipping Cloud
+        (`dragonfly_private_keygen.py:704-728`), and its cloud-key
+        server accepts only the configured Cloud identity
+        (`dragonfly_public_keygen.py:570-574`).  Here:
+
+        * role ``"output"`` — admitted immediately, served the secret
+          keyset;
+        * a role in the ``clients`` allowlist — served the secret
+          keyset, but only AFTER Output has been served (admission
+          order); feed :meth:`discover` results in for the reference's
+          ping-gated list.  Default allowlist: the configured topology
+          ``client-1..client-len(cfg.clients)``;
+        * role == ``cloud_role`` — served the evaluation keyset (+ the
+          nbit secret keyset: the reference hands Cloud the nbit
+          *secret* key for metadata, SURVEY Appendix A), after Output
+          (and, when an explicit allowlist was given, after every
+          allowlisted client) has been served.  The cloud role can
+          never obtain the main secret blob;
+        * any other role — refused: the connection is closed after the
+          SAE handshake with no key material sent.
+
+        Identity is the SAE-declared role string (the reference's
+        equivalent is the source IP); both are peer-asserted — the
+        allowlist bounds *which asserted identities* are served, the
+        password bounds who can assert one.
+
+        ``defer_clients=True`` starts the listener with the allowlist
+        pending: client/cloud connections wait until
+        :meth:`set_admitted_clients` supplies it (so discovery can
+        probe services that only come up once this server is bound).
+        """
+        self._allow_ready = threading.Event()
+        self._output_served = threading.Event()
+        self._clients_served = threading.Event()
+        self._served_clients: set = set()
+        self._admit_lock = threading.Lock()
+        if defer_clients:
+            self._allow = None
+            self._gate_cloud_on_clients = True
+        elif clients is None:
+            self._allow = [f"client-{i + 1}"
+                           for i in range(len(self.cfg.clients))]
+            self._gate_cloud_on_clients = False
+            self._allow_ready.set()
+        else:
+            self.set_admitted_clients(clients)
+
+        def _record_client(role):
+            with self._admit_lock:
+                self._served_clients.add(role)
+                if set(self._allow) <= self._served_clients:
+                    self._clients_served.set()
+
         def handle(conn, peer):
+            role = "?"
             try:
                 pmk, role = transport.sae_handshake(
                     conn, self.password, self.mac
                 )
-                if role.startswith("cloud"):
-                    _send_keypair(conn, pmk, self._cloud_blob,
-                                  self._nbit_blob,
-                                  chunk=self.cfg.key_chunk_size)
-                else:
+                if role == "output":
                     _send_keypair(conn, pmk, self._secret_blob,
                                   self._nbit_blob,
                                   chunk=self.cfg.key_chunk_size)
-                self.served.append(role)
+                    self.served.append(role)
+                    self._output_served.set()
+                elif role == cloud_role:
+                    ok = (self._allow_ready.wait(admit_timeout)
+                          and self._output_served.wait(admit_timeout))
+                    if ok and self._gate_cloud_on_clients:
+                        ok = self._clients_served.wait(admit_timeout)
+                    if not ok:
+                        raise PermissionError(
+                            "cloud admission before output/clients")
+                    _send_keypair(conn, pmk, self._cloud_blob,
+                                  self._nbit_blob,
+                                  chunk=self.cfg.key_chunk_size)
+                    self.served.append(role)
+                elif (self._allow_ready.wait(admit_timeout)
+                      and role in self._allow):
+                    if not self._output_served.wait(admit_timeout):
+                        raise PermissionError(
+                            "client admission before output")
+                    _send_keypair(conn, pmk, self._secret_blob,
+                                  self._nbit_blob,
+                                  chunk=self.cfg.key_chunk_size)
+                    self.served.append(role)
+                    _record_client(role)
+                else:
+                    raise PermissionError(f"role {role!r} not admitted")
                 log.info("keygen: served %s keys to %s",
-                         "cloud" if role.startswith("cloud")
-                         else "secret", role)
+                         "cloud" if role == cloud_role else "secret",
+                         role)
+            except PermissionError as e:
+                self.refused.append(role)
+                log.warning("keygen: refused %s (%s)", role, e)
+            except (ConnectionError, OSError, ValueError):
+                # liveness probes are bare connect+close; a dropped
+                # SAE handshake is not an admission event
+                log.debug("keygen: connection dropped (probe?)")
             finally:
                 conn.close()
 
         self.addr, self._srv = _listener(handle, host, port)
         return self.addr
+
+    def set_admitted_clients(self, clients: list):
+        """Supply the client allowlist (e.g. from :meth:`discover`)
+        for a server started with ``defer_clients=True``; admission
+        then gates Cloud on every listed client being served first
+        (the reference's private-then-public server ordering)."""
+        self._allow = list(clients)
+        self._gate_cloud_on_clients = True
+        if not self._allow:
+            self._clients_served.set()
+        self._allow_ready.set()
 
     def discover(self, hosts, port: int | None = None) -> list:
         """Ping-discovery of live client hosts before admission
@@ -262,9 +359,8 @@ class ClientNode:
     def encrypt_operand(self) -> ev.Operand:
         """The ./alice run (`dragonfly_cipher_client.py:49`)."""
         self._serve_count += 1
-        stream = prng.key_from_seed_words(
-            [0xC11E27, self.index, self._serve_count]
-        )
+        stream = prng.fresh_stream(0xC11E27, self.index,
+                                   self._serve_count)
         return ev.encrypt_operand(
             self.main_ks, self.nbit_ks, self.values, self.width, stream
         )

@@ -133,6 +133,20 @@ def _use_pallas(params: TFHEParams) -> bool:
         return False
     mode = os.environ.get("IEACHE_PALLAS", "auto")
     if mode == "0":
+        # KNOWN CRASH (CLAUDE.md, artifacts/PALLAS_PROBE_r02.json):
+        # the pure-XLA fallback reproducibly kills the tunneled TPU
+        # worker ("kernel fault") on wide-mul shapes (width_bench
+        # mul128), and a wedged worker takes the service down for
+        # minutes.  Refuse the footgun on TPU unless explicitly
+        # forced; CPU/interpret runs are unaffected.
+        if (jax.default_backend() == "tpu"
+                and os.environ.get("IEACHE_FORCE", "0") != "1"):
+            raise RuntimeError(
+                "IEACHE_PALLAS=0 on TPU is known to crash the worker "
+                "on wide-multiply shapes (see CLAUDE.md known issue; "
+                "artifacts/PALLAS_PROBE_r02.json). Set IEACHE_FORCE=1 "
+                "to run the XLA fallback on TPU anyway."
+            )
         return False
     if mode == "1":
         return True
@@ -256,17 +270,43 @@ def blind_rotate(
                 [bara, jnp.zeros((pad, bara.shape[1]), bara.dtype)], 0
             )
 
-        # IEACHE_PALLAS_STEP=fused2 runs the whole CMux step as ONE
-        # kernel (digits stay in VMEM scratch; acc fetched once per
-        # batch block); default "split" = the two-kernel pipeline.
-        # Measured on hardware (B=1024, λ=110 l2): bit-exact and
-        # performance-NEUTRAL (125.3 vs 125.2 ms/batch) — Mosaic
-        # already pipelines the split kernels' digit DMA; the ~40 ms
-        # gap to the pure-matmul floor is the rotation's VPU compute
-        # serialized with the MXU inside one instruction stream.
+        # IEACHE_PALLAS_STEP selects the step kernel:
+        # * "overlap" (default where eligible): ONE kernel per step
+        #   whose grid runs batch-block-major — each program does this
+        #   block's Toeplitz matmuls (MXU) plus 1/(kp1*rows) of the
+        #   NEXT block's rotate+diff+decompose (VPU), so the two units
+        #   get independent work to interleave.  Targets the measured
+        #   0.257 ms/step vs ~0.17 ms pure-matmul floor (the rotation
+        #   serializing with the MXU).  Needs >= (kp1*rows)*8 lanes
+        #   per batch block.
+        # * "fused2": whole CMux step as ONE kernel, rotation serial
+        #   per block.  Measured on hardware (B=1024, λ=110 l2):
+        #   bit-exact and performance-NEUTRAL vs split (125.3 vs
+        #   125.2 ms/batch).
+        # * "split": the two-kernel pipeline (rotation kernel + ext-
+        #   product kernel); Mosaic pipelines the digit DMA between
+        #   them.
         import os
 
-        if os.environ.get("IEACHE_PALLAS_STEP", "split") == "fused2":
+        step_mode = os.environ.get("IEACHE_PALLAS_STEP", "auto")
+        if step_mode == "auto":
+            bb = acc0.shape[0]
+            while bb > 256 or (acc0.shape[0] % bb):
+                bb //= 2
+            eligible = (
+                bb % ((params.k + 1) * params.trgsw_rows * 8) == 0
+            )
+            step_mode = "overlap" if eligible else "split"
+        if step_mode == "overlap":
+            from ieache_tpu.ops.pallas_kernels import (
+                cmux_step_overlap_pallas,
+            )
+
+            def step_t(acc_t, xs):
+                bk_i, bara_i = xs
+                return cmux_step_overlap_pallas(acc_t, bara_i, bk_i,
+                                                params), None
+        elif step_mode == "fused2":
             from ieache_tpu.ops.pallas_kernels import cmux_step_pallas
 
             def step_t(acc_t, xs):

@@ -99,6 +99,35 @@ def derive(key, i) -> tuple:
     return (np.uint32(y0), np.uint32(y1))
 
 
+def deterministic_mode() -> bool:
+    """IEACHE_DETERMINISTIC=1 pins protocol-path encryption streams to
+    their labels (repro/testing only — see fresh_stream)."""
+    import os
+
+    return os.environ.get("IEACHE_DETERMINISTIC", "0") == "1"
+
+
+def fresh_stream(*label_words) -> tuple:
+    """Entropy-backed stream key for protocol-path encryptions.
+
+    The reference draws fresh randomness for every ``bootsSymEncrypt``
+    (`Client1/alice.c:116-149`).  Deriving the stream purely from
+    deployment-stable labels (client index, serve count, opcode) makes
+    two deployments encrypting different values at the same label emit
+    ciphertexts with IDENTICAL a-vectors and noise, so ``c - c' =
+    (0, Δm + Δe)`` leaks the plaintext-bit difference outright.
+    Default: fold 128 bits of ``os.urandom`` after the label words.
+    ``IEACHE_DETERMINISTIC=1`` restores pure label derivation for
+    reproduction and the oracle-parity tests.
+    """
+    words = [np.uint32(int(w) & 0xFFFFFFFF) for w in label_words]
+    if not deterministic_mode():
+        import os
+
+        words += list(np.frombuffer(os.urandom(16), np.uint32))
+    return key_from_seed_words(words)
+
+
 def random_bits(key, n: int) -> np.ndarray:
     """n uint32 words from the stream of `key` (host/NumPy)."""
     nblocks = (n + 1) // 2

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import os
 import tempfile
 
@@ -89,3 +90,41 @@ def test_lwe_array_file_roundtrip():
         assert p2 == p
         assert meta == {"kind": "operand"}
         np.testing.assert_array_equal(arr2, arr)
+
+
+def test_schema_matches_declaration_asn():
+    """schema.py is verified against the shipped declaration.asn — the
+    .asn module is the wire format's source of truth, the same
+    artifact kind the reference deploys (`Output/declaration.asn`)."""
+    from ieache_tpu.codec import asn_schema, schema
+
+    parsed = asn_schema.load_module()
+    assert parsed == schema.ALL
+
+
+def test_asn_emit_parse_roundtrip_per_node():
+    from ieache_tpu.codec import asn_schema
+
+    full = asn_schema.load_module()
+    for role, names in asn_schema.NODE_TYPES.items():
+        text = asn_schema.node_module(role)
+        parsed = asn_schema.parse_module(text)
+        assert parsed == {n: full[n] for n in names}, role
+    # the drift facts (SURVEY C14): clients carry the 10 common types,
+    # Output everything (16 declarations incl. the 3 nested job types)
+    assert len(asn_schema.NODE_TYPES["client"]) == 10
+    assert len(asn_schema.NODE_TYPES["output"]) == 16
+    assert "DataUserInput" not in asn_schema.NODE_TYPES["keygen"]
+
+
+def test_asn1tools_crosscheck():
+    """If asn1tools is available, the shipped module must compile and
+    BER-encode DataFsize identically to our codec."""
+    asn1tools = pytest.importorskip("asn1tools")
+    from ieache_tpu.codec import asn_schema, ber, schema
+
+    spec = asn1tools.compile_files([asn_schema.module_path()], "ber")
+    for value in [0, 1, 127, 128, 162304, 2**31 - 1]:
+        theirs = spec.encode("DataFsize", {"data": value})
+        ours = ber.encode(schema.DataFsize, {"data": value})
+        assert theirs == ours, value

@@ -249,3 +249,87 @@ def test_node_stop_before_start_is_safe():
     nodes.OutputNode("pw").stop()
     nodes.CloudNode("pw").stop()
     nodes.ClientNode(1, "pw").stop()
+
+
+def _mini_keygen(clients=None):
+    from ieache_tpu.lwe import keygen as kg
+    from ieache_tpu.mp import nodes
+
+    if "kgpair" not in globals():
+        globals()["kgpair"] = kg.generate_gate_keypair(P.TEST_TINY)
+    node = nodes.KeygenNode(P.TEST_TINY, "pw",
+                            pair=globals()["kgpair"])
+    addr = node.start("127.0.0.1", 0, clients=clients,
+                      admit_timeout=5.0)
+    return node, addr
+
+
+def _pull_keys(addr, role, password="pw"):
+    from ieache_tpu.mp import nodes, transport
+
+    s = transport.connect_retry(*addr, retries=20, delay=0.05)
+    try:
+        pmk, _ = transport.sae_handshake(s, password, role)
+        return nodes._recv_keypair(s, pmk)
+    finally:
+        s.close()
+
+
+def test_keygen_admission_unknown_role_refused():
+    """A peer that knows the password but claims an unlisted role must
+    NOT receive the secret keyset (reference: only ping-discovered
+    clients are admitted, `dragonfly_private_keygen.py:704-728`)."""
+    node, addr = _mini_keygen(clients=["client-1"])
+    _pull_keys(addr, "output")  # admit output first
+    with pytest.raises((ConnectionError, OSError)):
+        _pull_keys(addr, "client-9")
+    assert "client-9" in node.refused
+    assert "client-9" not in node.served
+    node.stop()
+
+
+def test_keygen_admission_cloud_never_gets_secret():
+    """The cloud role receives the evaluation keyset only — no lwe_s
+    (`dragonfly_public_keygen.py:570-574` trust model)."""
+    from ieache_tpu.codec import files
+
+    node, addr = _mini_keygen(clients=[])
+    _pull_keys(addr, "output")
+    blob_k, _ = _pull_keys(addr, "cloud")
+    params, arrays, _hdr = files.loads_container(
+        blob_k, expect_kind="cloud_keyset"
+    )
+    assert "lwe_s" not in arrays and "trlwe_k" not in arrays
+    # an impostor claiming a cloud-ish but unlisted role is refused
+    with pytest.raises((ConnectionError, OSError)):
+        _pull_keys(addr, "cloud-2")
+    node.stop()
+
+
+def test_keygen_admission_order_output_first():
+    """Clients block until Output has been served; Cloud blocks until
+    Output and every allowlisted client have been served
+    (`dragonfly_private_keygen.py:704-728` admission order)."""
+    import threading
+    import time
+
+    node, addr = _mini_keygen(clients=["client-1"])
+    order = []
+
+    def pull(role):
+        _pull_keys(addr, role)
+        order.append(role)
+
+    tc = threading.Thread(target=pull, args=("client-1",))
+    tcl = threading.Thread(target=pull, args=("cloud",))
+    tc.start()
+    tcl.start()
+    time.sleep(0.5)
+    assert order == []          # both waiting on output
+    pull("output")
+    tc.join(10)
+    tcl.join(10)
+    assert order[0] == "output"
+    assert set(order) == {"output", "client-1", "cloud"}
+    assert order.index("cloud") > order.index("client-1")
+    node.stop()

@@ -172,3 +172,44 @@ def test_pallas_external_product_vs_schoolbook():
                 got[bi, o], (acc & 0xFFFFFFFF).astype(np.uint32)
                 .astype(np.int32).view(np.int32)
             )
+
+
+def test_pallas_overlap_step_matches_fused2():
+    """cmux_step_overlap_pallas (next-block rotation hidden under this
+    block's matmuls) must be bit-identical to cmux_step_pallas and the
+    XLA step — the overlap only reorders independent work.  b=512
+    forces nb=2 blocks so the cross-block digits handoff (double-
+    buffered dscratch parity) is actually exercised."""
+    from ieache_tpu.ops.pallas_kernels import (
+        cmux_step_overlap_pallas,
+        cmux_step_pallas,
+    )
+
+    p = P.TEST_TINY
+    rng = np.random.RandomState(6)
+    for b in (512, 64):  # nb=2 (overlap) and nb=1 (prologue only)
+        acc = rng.randint(-2**31, 2**31,
+                          (b, p.k + 1, p.N)).astype(np.int32)
+        bara = rng.randint(0, 2 * p.N, (b,)).astype(np.int32)
+        bk_i = rng.randint(-2**31, 2**31,
+                           (p.trgsw_rows, p.k + 1, p.N)).astype(np.int32)
+
+        acc_t = jnp.asarray(np.transpose(acc, (1, 0, 2)))
+        got = np.asarray(
+            cmux_step_overlap_pallas(
+                acc_t, jnp.asarray(bara), jnp.asarray(bk_i), p,
+                interpret=True,
+            )
+        )
+        want = np.asarray(
+            cmux_step_pallas(acc_t, jnp.asarray(bara),
+                             jnp.asarray(bk_i), p, interpret=True)
+        )
+        np.testing.assert_array_equal(got, want)
+
+        xla = np.asarray(br.external_product_step(
+            jnp.asarray(acc), jnp.asarray(bara), jnp.asarray(bk_i), p
+        ))
+        np.testing.assert_array_equal(
+            np.transpose(got, (1, 0, 2)), xla
+        )

@@ -103,44 +103,73 @@ def main():
     # circuit (compute_chain); EB_CHAIN=0 = per-op dispatches
     use_chain = os.environ.get("EB_CHAIN", "1") != "0"
 
-    def run_expr():
+    # EB_CHUNK: evaluate the batch as sequential passes of this many
+    # lanes (default: 1024 on a single chip when batch > 1024 — the
+    # measured throughput sweet spot; CLAUDE.md records B=4096 ~14%
+    # slower per gate and the 2048x2x1024 compile pathology, and
+    # VERDICT r2 weak #4 flags config 5 running below the sweet spot).
+    # EB_CHUNK=0 forces one single pass.
+    chunk_default = 1024 if (dp == 1 and batch > 1024) else 0
+    chunk = int(os.environ.get("EB_CHUNK", chunk_default))
+    if chunk and batch % chunk:
+        raise SystemExit(f"EB_CHUNK {chunk} must divide batch {batch}")
+    n_chunks = (batch // chunk) if chunk else 1
+
+    def _slice_op(o, lo, hi):
+        return ev.Operand(o.neg_word[lo:hi], o.bit_word[lo:hi],
+                          o.value[lo:hi], o.carry_word[lo:hi])
+
+    def run_expr(ai, bi, ci, av, bv, cv):
         if expr == "add_sub":     # A + B - C   (postfix AB+C-)
             ops = [ev.OP_ADD, ev.OP_SUB]
             want = [int(x) + int(y) - int(z)
-                    for x, y, z in zip(a_vals, b_vals, c_vals)]
+                    for x, y, z in zip(av, bv, cv)]
             if use_chain:
-                ans, _ = cloud.compute_chain(ops, [a, b, c])
+                ans, _ = cloud.compute_chain(ops, [ai, bi, ci])
             else:
-                ab, _ = cloud.compute(ops[0], a, b)
-                ans, _ = cloud.compute(ops[1], ab, c)
+                ab, _ = cloud.compute(ops[0], ai, bi)
+                ans, _ = cloud.compute(ops[1], ab, ci)
             return ans, want, ops[-1]
         # A - B * C  (postfix ABC*-: multiply binds first — the tree
         # the reference CLI actually produces; (A-B)*C is inexpressible
         # there, and its negative A-B intermediates would hit the
         # two's-complement-as-magnitude chaining hazard)
         want = [int(x) - int(y) * int(z)
-                for x, y, z in zip(a_vals, b_vals, c_vals)]
+                for x, y, z in zip(av, bv, cv)]
         if use_chain:
             steps = [(ev.OP_MUL, ("opnd", 1), ("opnd", 2)),
                      (ev.OP_SUB, ("opnd", 0), ("step", 0))]
-            ans, _ = cloud.compute_steps(steps, [a, b, c])
+            ans, _ = cloud.compute_steps(steps, [ai, bi, ci])
         else:
-            bc, _ = cloud.compute(ev.OP_MUL, b, c)
-            ans, _ = cloud.compute(ev.OP_SUB, a, bc)
+            bc, _ = cloud.compute(ev.OP_MUL, bi, ci)
+            ans, _ = cloud.compute(ev.OP_SUB, ai, bc)
         return ans, want, ev.OP_SUB
+
+    def one_pass():
+        """All chunks through compute + decrypt; returns (got, want)."""
+        gots, wants = [], []
+        for j in range(n_chunks):
+            lo = j * chunk if chunk else 0
+            hi = lo + chunk if chunk else batch
+            ai, bi, ci = (_slice_op(x, lo, hi) for x in (a, b, c))
+            ans, want, fop = run_expr(
+                ai, bi, ci, a_vals[lo:hi], b_vals[lo:hi],
+                c_vals[lo:hi]
+            )
+            gots += ev.decrypt_answer(main_ks, nbit_ks, ans, fop)
+            wants += want
+        return gots, wants
 
     # cold pass (includes jit compiles), then a warm pass = the
     # steady-state serving rate
     t0 = time.time()
-    ans, want, final_op = run_expr()
-    got = ev.decrypt_answer(main_ks, nbit_ks, ans, final_op)
+    got, want = one_pass()
     cold = time.time() - t0
     errors = sum(1 for g, w in zip(got, want) if g != w)
     gates = cloud.gate_count
 
     t0 = time.time()
-    ans, want, final_op = run_expr()
-    got = ev.decrypt_answer(main_ks, nbit_ks, ans, final_op)
+    got, want = one_pass()
     warm = time.time() - t0
     errors += sum(1 for g, w in zip(got, want) if g != w)
 
@@ -161,6 +190,7 @@ def main():
         "errors": errors,
         "vs_reference_149s_per_expr": round((batch / warm) * 149, 1),
         "dp": dp,
+        "chunk": chunk or batch,
         "params": p.name,
         "device": str(jax.devices()[0]),
     }

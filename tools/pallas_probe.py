@@ -55,6 +55,10 @@ def main():
     # each mode gets its own freshly-jitted wrapper (separate trace).
     def run(mode):
         os.environ["IEACHE_PALLAS"] = mode
+        # plain bootstraps at this batch are the documented-safe XLA
+        # shape (the worker-crash repro is wide multiplies only); the
+        # probe is the deliberate consumer of the fallback
+        os.environ["IEACHE_FORCE"] = "1"
 
         @jax.jit
         def f(x):
