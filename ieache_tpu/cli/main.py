@@ -169,6 +169,106 @@ def cmd_verify(args):
         print(f"Answer: {v}")
 
 
+def cmd_interactive(args):
+    """The reference Output CLI's interactive prompt loop
+    (`output_dynamic.py:1055-1245`): expression prompt, postfix echo,
+    the two fatal expression filters, per-operand IPv4+liveness entry
+    with re-prompt, and the "Answer Bit Size is too large" answer-size
+    message.  With --sim (default) the six-role topology runs
+    in-process and per-operand VALUES are prompted instead of IPs;
+    --live submits to running `serve` roles at the prompted addresses.
+    """
+    from ieache_tpu.cli import convert
+    from ieache_tpu.mp import liveness
+
+    print("Hello!")
+    while True:
+        expr = input(
+            "Enter an expression using letters (A, B, C) for clients "
+            "and symbols ( +, -, *) for operators. [E.g. A + B - C]: "
+        )
+        try:
+            postfix = convert.to_postfix(expr)
+        except convert.ExpressionError as e:
+            print(e)
+            continue
+        print("Postfix Expression:", postfix)
+        try:
+            letters, ops = convert.validate(postfix)
+        except convert.ExpressionError as e:
+            print(e)
+            # the reference EXITS on the two operator filters
+            # (output_dynamic.py:1080-1085) and re-prompts otherwise
+            msg = str(e)
+            if "cannot be processed" in msg:
+                sys.exit(1)
+            continue
+        break
+    if "/" in ops:
+        print("note: '/' maps to multiplication (division is "
+              "unimplemented, as in the reference)")
+
+    if args.live:
+        from ieache_tpu.mp import nodes
+
+        client_addrs = {}
+        for letter in letters:
+            while True:
+                raw = input(
+                    f"Enter the IPv4 Address for {letter}: "
+                ).strip()
+                host, _, port = raw.partition(":")
+                if (convert.validate_ipv4(host)
+                        and liveness.host_alive(
+                            host, int(port) if port else None)):
+                    client_addrs[letter] = (
+                        host, int(port or 4381)
+                    )
+                    break
+                print("\nPlease enter a valid and working IPv4 "
+                      "Address")
+        cloud_raw = input("Enter the Cloud address [host:port]: ")
+        chost, _, cport = cloud_raw.partition(":")
+        out = nodes.OutputNode(args.password)
+        out.receive_keys(_addr_arg(args.keygen_addr, 4380))
+        try:
+            values = out.submit_job(
+                (chost, int(cport or 4381)), postfix, client_addrs
+            )
+        except (ConnectionError, RuntimeError, ValueError) as e:
+            # undersized answer == computation failure
+            # (output_dynamic.py:1018-1019)
+            print("Answer Bit Size is too large" if "answer" in
+                  str(e).lower() else f"job failed: {e}")
+            sys.exit(1)
+        for v in values:
+            print("Answer:", v)
+        return
+
+    from ieache_tpu.mp import sim
+
+    values = {}
+    for letter in letters:
+        while True:
+            raw = input(f"Enter the integer value for {letter}: ")
+            try:
+                values[letter] = [int(raw)]
+                break
+            except ValueError:
+                print("Please enter an integer")
+    res = sim.run_full_flow(
+        postfix, values, width=args.width,
+        params=_params(args.params),
+    )
+    for v in res.values:
+        print("Answer:", v)
+
+
+def _addr_arg(s: str, default_port: int):
+    host, _, port = s.partition(":")
+    return (host, int(port or default_port))
+
+
 def cmd_expr(args):
     from ieache_tpu import params as P
     from ieache_tpu.cli import convert
@@ -350,6 +450,21 @@ def build_parser():
     p.add_argument("--adder", default="ripple",
                    choices=["ripple", "kogge_stone"])
     p.set_defaults(fn=cmd_expr)
+
+    p = sub.add_parser(
+        "interactive",
+        help="reference-style interactive prompt loop "
+             "(output_dynamic.py:1055-1245)",
+    )
+    p.add_argument("--width", type=int, default=32)
+    p.add_argument("--params", default="ieache_110")
+    p.add_argument("--live", action="store_true",
+                   help="submit to running `serve` roles (prompts for "
+                        "per-operand addresses) instead of the "
+                        "in-process sim")
+    p.add_argument("--password", default="abc1238")
+    p.add_argument("--keygen-addr", default="192.168.0.3:4380")
+    p.set_defaults(fn=cmd_interactive)
 
     p = sub.add_parser("reset", help="delete run artifacts (C25)")
     p.add_argument("--dir", default=".")

@@ -291,7 +291,7 @@ def blind_rotate(
         step_mode = os.environ.get("IEACHE_PALLAS_STEP", "auto")
         if step_mode == "auto":
             bb = acc0.shape[0]
-            while bb > 256 or (acc0.shape[0] % bb):
+            while bb > 128 or (acc0.shape[0] % bb):
                 bb //= 2
             eligible = (
                 bb % ((params.k + 1) * params.trgsw_rows * 8) == 0

@@ -454,10 +454,15 @@ def cmux_step_overlap_pallas(acc_t: jnp.ndarray, bara_i: jnp.ndarray,
     if off >= 2**31:
         off -= 2**32
 
-    chunk = min(256, n)
+    # bb=128 (not 256): this kernel holds TWO acc blocks + the digit
+    # double-buffer + Toeplitz scratch in VMEM, and Mosaic double-
+    # buffers the input blocks across grid programs — bb=256 was
+    # measured 17.02M > the 16M scoped-vmem limit on v5e.  Smaller
+    # blocks also shrink the serial block-0 prologue share (1/nb).
+    chunk = min(128, n)
     nslices = kp1 * rows
     bb = b
-    while bb > 256 or (b % bb):
+    while bb > 128 or (b % bb):
         bb //= 2
     nb = b // bb
     rows_per = bb // nslices

@@ -89,3 +89,42 @@ def test_cli_end_to_end(tmp_path):
 
     run("reset", "--dir", d)
     assert not os.path.exists(os.path.join(d, "answer.data"))
+
+
+def test_cli_interactive_sim(tmp_path):
+    """The reference-style interactive prompt loop
+    (`output_dynamic.py:1055-1245`): expression prompt + postfix echo,
+    re-prompt on a short expression, value prompts, answers printed."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", IEACHE_PLATFORM="cpu",
+               PYTHONPATH=repo_root + os.pathsep
+               + os.environ.get("PYTHONPATH", ""))
+    r = subprocess.run(
+        [sys.executable, "-m", "ieache_tpu.cli.main", "interactive",
+         "--params", "test_tiny", "--width", "8"],
+        input="A\nA + B - C\n30\n12\n50\n",
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "Hello!" in r.stdout
+    assert "at least 2 letters" in r.stdout        # re-prompt path
+    assert "Postfix Expression: AB+C-" in r.stdout
+    assert "Answer: -8" in r.stdout
+
+
+def test_cli_interactive_rejects_mixed_ops(tmp_path):
+    """The reference EXITS on the +/* filter (output_dynamic.py:1080)."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", IEACHE_PLATFORM="cpu",
+               PYTHONPATH=repo_root + os.pathsep
+               + os.environ.get("PYTHONPATH", ""))
+    r = subprocess.run(
+        [sys.executable, "-m", "ieache_tpu.cli.main", "interactive",
+         "--params", "test_tiny"],
+        input="A + B * C\n", cwd=str(tmp_path), env=env,
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 1
+    assert ("addition and multiplication operation cannot be "
+            "processed") in r.stdout
