@@ -271,7 +271,7 @@ def blind_rotate(
             )
 
         # IEACHE_PALLAS_STEP selects the step kernel:
-        # * "overlap" (default where eligible): ONE kernel per step
+        # * "overlap" (opt-in): ONE kernel per step
         #   whose grid runs batch-block-major — each program does this
         #   block's Toeplitz matmuls (MXU) plus 1/(kp1*rows) of the
         #   NEXT block's rotate+diff+decompose (VPU), so the two units
@@ -290,13 +290,18 @@ def blind_rotate(
 
         step_mode = os.environ.get("IEACHE_PALLAS_STEP", "auto")
         if step_mode == "auto":
+            # "split" until the overlap kernel is proven on hardware:
+            # its first on-device compile (r3) ran >20 min without
+            # completing and wedged the tunneled TPU service — opt in
+            # explicitly with IEACHE_PALLAS_STEP=overlap while that is
+            # being characterized.
+            step_mode = "split"
+        if step_mode == "overlap":
             bb = acc0.shape[0]
             while bb > 128 or (acc0.shape[0] % bb):
                 bb //= 2
-            eligible = (
-                bb % ((params.k + 1) * params.trgsw_rows * 8) == 0
-            )
-            step_mode = "overlap" if eligible else "split"
+            if bb % ((params.k + 1) * params.trgsw_rows * 8):
+                step_mode = "split"
         if step_mode == "overlap":
             from ieache_tpu.ops.pallas_kernels import (
                 cmux_step_overlap_pallas,

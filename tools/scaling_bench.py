@@ -54,6 +54,9 @@ def main():
     per_chip = int(os.environ.get("SB_BATCH_PER_CHIP", 256))
     iters = int(os.environ.get("SB_ITERS", 4))
     tp = int(os.environ.get("SB_TP", 1))
+    sp = int(os.environ.get("SB_SP", 1))
+    if tp > 1 and sp > 1:
+        sys.exit("SB_TP and SB_SP are mutually exclusive")
 
     cache = os.path.join(os.path.dirname(__file__), "..", ".keycache")
     os.makedirs(cache, exist_ok=True)
@@ -66,11 +69,15 @@ def main():
     dck = boot.pack_cloud_key(ks.cloud)
 
     n_dev = len(jax.devices())
-    sizes = [d for d in (1, 2, 4, 8, 16, 32) if d * tp <= n_dev]
+    model = tp * sp
+    sizes = [d for d in (1, 2, 4, 8, 16, 32) if d * model <= n_dev]
     stream = prng.key_from_seed_words([0x5CA1E])
     rates = {}
     for dp in sizes:
-        m = dmesh.make_mesh(dp * tp, tp=tp)
+        if sp > 1:
+            m = dshard.make_sp_mesh(dp * sp, sp=sp)
+        else:
+            m = dmesh.make_mesh(dp * tp, tp=tp)
         batch = per_chip * dp
         xb = prng.uniform_bits01(prng.derive(stream, 2 * dp), batch)
         yb = prng.uniform_bits01(prng.derive(stream, 2 * dp + 1), batch)
@@ -82,7 +89,17 @@ def main():
         cy = jax.device_put(jnp.asarray(
             encrypt.encrypt_bits(ks, yb, prng.derive(stream, 200 + dp))), sh)
 
-        if tp > 1:
+        if sp > 1:
+            # sp engages the polynomial-axis-sharded pipeline
+            # (dist/shard.make_sharded_bootstrap_sp): one all_gather
+            # per blind-rotation step, keys replicated.
+            boot_fn = dshard.make_sharded_bootstrap_sp(m, p)
+
+            def run():
+                pre = -cx - cy
+                pre = pre.at[:, p.n].add(boot.MU)
+                return boot_fn(pre, dck.bk, dck.ks_limbs)
+        elif tp > 1:
             # tp engages the sharded-contraction pipeline (dist/shard.py):
             # bk/ks sharded over tp, one psum per blind-rotation step.
             boot_fn = dshard.make_sharded_bootstrap(m, p)
@@ -113,7 +130,7 @@ def main():
         rates[dp] = rate
         print(json.dumps({
             "metric": "scaling_bootstraps_per_sec",
-            "dp": dp, "tp": tp, "batch": batch,
+            "dp": dp, "tp": tp, "sp": sp, "batch": batch,
             "value": round(rate, 1), "unit": "bootstraps/s",
             "seconds": round(dt, 3), "errors": errors,
         }))

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Per-step cost of each Pallas CMux step kernel (split/fused2/overlap).
+
+Times a SB_STEPS-step blind-rotation scan per step mode on the active
+device, printing staged progress (compile vs run) with flush so a
+pathological compile is visible immediately, plus one JSON line per
+mode and a summary.  Unlike tools/profile_scan.py this exercises the
+exact scan bodies `blind_rotate` dispatches (transposed layout,
+IEACHE_PALLAS_STEP), so it measures what bench.py will see.
+
+Env: SB_MODES (comma list, default "split,fused2,overlap"),
+SB_B (1024), SB_STEPS (128), SB_PARAMS (ieache_110_l2), SB_ITERS (2).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ieache_tpu import params as P
+    from ieache_tpu.ops import pallas_kernels as pk
+
+    pname = os.environ.get("SB_PARAMS", "ieache_110_l2")
+    p = {"ieache_110": P.IEACHE_110,
+         "ieache_110_l2": P.IEACHE_110_FAST}[pname]
+    b = int(os.environ.get("SB_B", 1024))
+    steps = int(os.environ.get("SB_STEPS", 128))
+    iters = int(os.environ.get("SB_ITERS", 2))
+    modes = os.environ.get("SB_MODES", "split,fused2,overlap").split(",")
+
+    rows, kp1, n = p.trgsw_rows, p.k + 1, p.N
+    rng = np.random.RandomState(7)
+    acc_t = jnp.asarray(
+        rng.randint(-2**31, 2**31, (kp1, b, n)).astype(np.int32))
+    bara = jnp.asarray(
+        rng.randint(0, 2 * n, (steps, b)).astype(np.int32))
+    bks = jnp.asarray(
+        rng.randint(-2**31, 2**31, (steps, rows, kp1, n)).astype(np.int32))
+
+    def body(mode):
+        if mode == "overlap":
+            def step(acc, xs):
+                bk_i, bara_i = xs
+                return pk.cmux_step_overlap_pallas(acc, bara_i, bk_i,
+                                                   p), None
+        elif mode == "fused2":
+            def step(acc, xs):
+                bk_i, bara_i = xs
+                return pk.cmux_step_pallas(acc, bara_i, bk_i, p), None
+        elif mode == "split":
+            def step(acc, xs):
+                bk_i, bara_i = xs
+                d_t = pk.rot_diff_decompose_pallas(acc, bara_i, p)
+                return pk.external_product_pallas_t(
+                    d_t, bk_i, p, acc_t=acc), None
+        else:
+            raise SystemExit(f"unknown mode {mode!r}")
+
+        @jax.jit
+        def f(acc_t, bks, bara):
+            acc, _ = jax.lax.scan(step, acc_t, (bks, bara))
+            return acc
+
+        return f
+
+    results = {}
+    for mode in modes:
+        mode = mode.strip()
+        f = body(mode)
+        print(f"# {mode}: compiling...", flush=True)
+        t0 = time.time()
+        out = np.asarray(f(acc_t, bks, bara))   # materialize = fence
+        t_compile = time.time() - t0
+        print(f"# {mode}: compile+first run {t_compile:.1f}s; timing...",
+              flush=True)
+        t0 = time.time()
+        for _ in range(iters):
+            out = f(acc_t, bks, bara)
+        out = np.asarray(out)
+        dt = (time.time() - t0) / iters / steps
+        results[mode] = dt
+        print(json.dumps({
+            "mode": mode, "ms_per_step": round(dt * 1e3, 4),
+            "compile_s": round(t_compile, 1),
+            "b": b, "steps": steps, "params": p.name,
+            "proj_bootstraps_per_s": round(b / (p.n * dt), 1),
+            "checksum": int(np.int64(out.sum()) & 0xFFFFFFFF),
+        }), flush=True)
+
+    if len(results) > 1:
+        base = results.get("split") or next(iter(results.values()))
+        summary = {m: round(base / v - 1, 4) for m, v in results.items()}
+        print(json.dumps({"speedup_vs_split": summary}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
