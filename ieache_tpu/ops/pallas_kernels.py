@@ -74,6 +74,12 @@ def _ext_product_kernel(*refs, n: int, chunk: int, fuse_acc: bool):
         )
         size *= 2
 
+    # accumulate the (chunk, limb) partial products in a VMEM value and
+    # touch out_ref ONCE per program: the previous per-(v, c) RMW of
+    # the output block was 16 serial read-modify-write passes whose
+    # dependency chain gated the MXU (PROFILE_r03_components: the ext
+    # kernel ran at ~44% of the int8 floor)
+    total = None
     for c in range(n // chunk):
         if c > 0:  # advance all rows by `chunk`: row i -> roll(e, c*chunk+i)
             tscratch[:, :] = pltpu.roll(tscratch[:, :], chunk, axis=1)
@@ -86,7 +92,9 @@ def _ext_product_kernel(*refs, n: int, chunk: int, fuse_acc: bool):
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            out_ref[0] += part << (8 * v)
+            part = part << (8 * v)
+            total = part if total is None else total + part
+    out_ref[0] += total
 
 
 @functools.partial(
@@ -133,7 +141,12 @@ def external_product_pallas_t(
     bk_t = bk_i[:, :, None, :]                    # (rows, kp1, 1, N)
     fuse_acc = acc_t is not None
 
-    chunk = min(256, n)
+    # IEACHE_EXT_CHUNK (trace-time, like IEACHE_PALLAS): Toeplitz rows
+    # built per VMEM block; larger chunks mean fewer advance-rolls and
+    # fewer accumulate iterations but a bigger (chunk, 2N) scratch
+    import os
+
+    chunk = min(int(os.environ.get("IEACHE_EXT_CHUNK", 256)), n)
     bb = b
     while bb > 1024 or (b % bb):  # batch block: <=1024 and divides B
         bb //= 2
@@ -509,6 +522,90 @@ def cmux_step_overlap_pallas(acc_t: jnp.ndarray, bara_i: jnp.ndarray,
         interpret=interpret,
     )(acc_t, acc_t, bara_i[:, None], bara_i[:, None],
       bk_i[:, :, None, :])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "interpret")
+)
+def cmux_step_overlap2_pallas(acc_t: jnp.ndarray, bara_i: jnp.ndarray,
+                              bk_i: jnp.ndarray, params: TFHEParams,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Overlap CMux step, compile-friendly operand layout.
+
+    Same kernel body as :func:`cmux_step_overlap_pallas`, but the
+    "next block" operands are XLA-side shifted copies of acc/bara
+    (one ~20 us HBM copy per step at B=1024) instead of a second view
+    of the SAME buffer with ``min(bi+1, nb-1)`` index maps — the
+    duplicated-operand + non-monotonic-window combination is the prime
+    suspect for the pathological 10-min-per-signature XLA compile of
+    the v1 kernel under ``lax.scan`` (single calls compile in ~27 s).
+    Bit-identical to cmux_step_pallas.
+    """
+    if params.digit_limbs != 1:
+        raise ValueError("pallas path requires single-limb digits")
+    from ieache_tpu.ops.decompose import _offset
+
+    kp1, b, n = acc_t.shape
+    rows = params.trgsw_rows
+    if b % 8:
+        raise ValueError(f"batch {b} must be a multiple of 8")
+
+    off = _offset(params.bg_bit, params.l)
+    if off >= 2**31:
+        off -= 2**32
+
+    chunk = min(128, n)
+    nslices = kp1 * rows
+    bb = b
+    while bb > 128 or (b % bb):
+        bb //= 2
+    nb = b // bb
+    rows_per = bb // nslices
+    if rows_per % 8 or rows_per * nslices != bb:
+        raise ValueError(
+            f"batch block {bb} not splittable into {nslices} "
+            "sublane-aligned rotation slices — use the split/fused2 "
+            "path"
+        )
+
+    # block-shifted copies: window bi of *_next is window bi+1 of the
+    # original (wrap-around content at bi == nb-1 is never consumed —
+    # the kernel's VPU stream is gated on bi < nb-1)
+    acc_next = jnp.concatenate(
+        [acc_t[:, bb:, :], acc_t[:, :bb, :]], axis=1
+    )
+    bara_col = bara_i[:, None]
+    bara_next = jnp.concatenate([bara_col[bb:], bara_col[:bb]], axis=0)
+
+    return pl.pallas_call(
+        functools.partial(
+            _cmux_overlap_kernel, n=n, chunk=chunk,
+            log2_2n=params.log2_2N, bg_bit=params.bg_bit,
+            l=params.l, offset=off, kp1=kp1, rows=rows, nb=nb,
+            rows_per=rows_per,
+        ),
+        grid=(nb, kp1, rows),
+        in_specs=[
+            pl.BlockSpec((kp1, bb, n), lambda bi, o, p: (0, bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp1, bb, n), lambda bi, o, p: (0, bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1), lambda bi, o, p: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1), lambda bi, o, p: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, n), lambda bi, o, p: (p, o, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bb, n), lambda bi, o, p: (o, bi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kp1, b, n), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, bb, n), jnp.int8),
+            pltpu.VMEM((chunk, 2 * n), jnp.int32),
+        ],
+        interpret=interpret,
+    )(acc_t, acc_next, bara_col, bara_next, bk_i[:, :, None, :])
 
 
 def _rot_diff_decompose_kernel(acc_ref, bara_ref, out_ref, *, n: int,
