@@ -213,3 +213,35 @@ def test_pallas_overlap_step_matches_fused2():
         np.testing.assert_array_equal(
             np.transpose(got, (1, 0, 2)), xla
         )
+
+
+def test_pallas_overlap2_step_matches_fused2():
+    """cmux_step_overlap2_pallas (compile-friendly variant: the next
+    block arrives as an XLA-side shifted copy instead of a second view
+    of the same buffer) must be bit-identical to cmux_step_pallas."""
+    from ieache_tpu.ops.pallas_kernels import (
+        cmux_step_overlap2_pallas,
+        cmux_step_pallas,
+    )
+
+    p = P.TEST_TINY
+    rng = np.random.RandomState(9)
+    for b in (512, 64):  # nb=2 (shifted copy consumed) and nb=1
+        acc = rng.randint(-2**31, 2**31,
+                          (b, p.k + 1, p.N)).astype(np.int32)
+        bara = rng.randint(0, 2 * p.N, (b,)).astype(np.int32)
+        bk_i = rng.randint(-2**31, 2**31,
+                           (p.trgsw_rows, p.k + 1, p.N)).astype(np.int32)
+
+        acc_t = jnp.asarray(np.transpose(acc, (1, 0, 2)))
+        got = np.asarray(
+            cmux_step_overlap2_pallas(
+                acc_t, jnp.asarray(bara), jnp.asarray(bk_i), p,
+                interpret=True,
+            )
+        )
+        want = np.asarray(
+            cmux_step_pallas(acc_t, jnp.asarray(bara),
+                             jnp.asarray(bk_i), p, interpret=True)
+        )
+        np.testing.assert_array_equal(got, want)
