@@ -64,6 +64,24 @@ def test_expr_bench_smoke_both_exprs():
                    "EB_BATCH": "8", "EB_WIDTH": "8", "EB_DP": "8",
                    "EB_EXPR": "add_mul"})
     assert rec["expr"] == "A-B*C" and rec["errors"] == 0
+    # the chained double multiply (width doubles twice) is the
+    # reference Fig.7 A*B*C case — the heaviest expression shape
+    (rec,) = _run(["tools/expr_bench.py"],
+                  {"EB_FORCE_CPU": "1", "EB_PARAMS": "test_tiny",
+                   "EB_BATCH": "8", "EB_WIDTH": "8", "EB_DP": "8",
+                   "EB_EXPR": "mul_mul"})
+    assert rec["expr"] == "A*B*C" and rec["errors"] == 0
+
+
+@pytest.mark.slow
+def test_scaling_bench_sp_smoke():
+    recs = _run(["tools/scaling_bench.py"],
+                {"SB_FORCE_CPU": "1", "SB_PARAMS": "test_tiny",
+                 "SB_BATCH_PER_CHIP": "8", "SB_ITERS": "1",
+                 "SB_SP": "4"})
+    assert recs[-1]["metric"] == "scaling_efficiency"
+    assert all(r.get("errors", 0) == 0 for r in recs[:-1])
+    assert all(r.get("sp") == 4 for r in recs[:-1])
 
 
 @pytest.mark.slow

@@ -8,7 +8,9 @@ reference's headline `A+B-C` case: 149 s for ONE expression on its
 verifies every decryption.
 
 Env: EB_BATCH (default 256), EB_WIDTH (16), EB_PARAMS (ieache_110),
-EB_ADDER (ripple|kogge_stone), EB_EXPR (add_sub|add_mul),
+EB_ADDER (ripple|kogge_stone), EB_EXPR (one of the six Fig.7 cases:
+add_add=A+B+C, add_sub=A+B-C, sub_sub=A-B-C, mul_add=A+B*C,
+add_mul=A-B*C, mul_mul=A*B*C),
 EB_DP (default = all devices: shard the batch over a dp mesh —
 EB_BATCH=4096 EB_DP=N is BASELINE config 5, the 4096-expression
 batched multi-chip run; requires dp | batch).
@@ -104,13 +106,13 @@ def main():
     use_chain = os.environ.get("EB_CHAIN", "1") != "0"
 
     # EB_CHUNK: evaluate the batch as sequential passes of this many
-    # lanes (default: 1024 on a single chip when batch > 1024 — the
-    # measured throughput sweet spot; CLAUDE.md records B=4096 ~14%
-    # slower per gate and the 2048x2x1024 compile pathology, and
-    # VERDICT r2 weak #4 flags config 5 running below the sweet spot).
-    # EB_CHUNK=0 forces one single pass.
-    chunk_default = 1024 if (dp == 1 and batch > 1024) else 0
-    chunk = int(os.environ.get("EB_CHUNK", chunk_default))
+    # lanes.  OFF by default: the r3 head-to-head at lambda=110 l2
+    # measured single-pass B=4096 FASTER than 4x1024 chunks (133.1 vs
+    # 129.0 expr/s, artifacts/EXPR4096_r03_{single,chunked}_tpu.json)
+    # — r02's apparent chunking win compared an l2 B=1024 artifact
+    # against an l3 B=4096 one.  Still avoid B=2048 (the 2048x2x1024
+    # compile pathology, CLAUDE.md).
+    chunk = int(os.environ.get("EB_CHUNK", 0))
     if chunk and batch % chunk:
         raise SystemExit(f"EB_CHUNK {chunk} must divide batch {batch}")
     n_chunks = (batch // chunk) if chunk else 1
@@ -119,31 +121,50 @@ def main():
         return ev.Operand(o.neg_word[lo:hi], o.bit_word[lo:hi],
                           o.value[lo:hi], o.carry_word[lo:hi])
 
+    # The six expressions of the reference paper's Fig.7 benchmark
+    # (AC058.pdf p.4; BASELINE.md "Published numbers").  Left folds
+    # run via compute_chain; the mul-first trees (ABC*+ / ABC*-, the
+    # shapes the reference CLI actually produces) via compute_steps.
+    # Values: (display, left-fold ops or None, step list or None,
+    # plaintext lambda, reference seconds/expr).
+    FIG7 = {
+        "add_add": ("A+B+C", [ev.OP_ADD, ev.OP_ADD], None,
+                    lambda x, y, z: x + y + z, 142.0),
+        "add_sub": ("A+B-C", [ev.OP_ADD, ev.OP_SUB], None,
+                    lambda x, y, z: x + y - z, 149.0),
+        "sub_sub": ("A-B-C", [ev.OP_SUB, ev.OP_SUB], None,
+                    lambda x, y, z: x - y - z, 159.0),
+        "mul_add": ("A+B*C", None,
+                    [(ev.OP_MUL, ("opnd", 1), ("opnd", 2)),
+                     (ev.OP_ADD, ("opnd", 0), ("step", 0))],
+                    lambda x, y, z: x + y * z, 329.0),
+        "add_mul": ("A-B*C", None,
+                    [(ev.OP_MUL, ("opnd", 1), ("opnd", 2)),
+                     (ev.OP_SUB, ("opnd", 0), ("step", 0))],
+                    lambda x, y, z: x - y * z, 359.0),
+        "mul_mul": ("A*B*C", [ev.OP_MUL, ev.OP_MUL], None,
+                    lambda x, y, z: x * y * z, 563.0),
+    }
+    if expr not in FIG7:
+        raise SystemExit(f"EB_EXPR must be one of {sorted(FIG7)}")
+    disp, fold_ops, step_list, plain, ref_s = FIG7[expr]
+
     def run_expr(ai, bi, ci, av, bv, cv):
-        if expr == "add_sub":     # A + B - C   (postfix AB+C-)
-            ops = [ev.OP_ADD, ev.OP_SUB]
-            want = [int(x) + int(y) - int(z)
-                    for x, y, z in zip(av, bv, cv)]
-            if use_chain:
-                ans, _ = cloud.compute_chain(ops, [ai, bi, ci])
-            else:
-                ab, _ = cloud.compute(ops[0], ai, bi)
-                ans, _ = cloud.compute(ops[1], ab, ci)
-            return ans, want, ops[-1]
-        # A - B * C  (postfix ABC*-: multiply binds first — the tree
-        # the reference CLI actually produces; (A-B)*C is inexpressible
-        # there, and its negative A-B intermediates would hit the
-        # two's-complement-as-magnitude chaining hazard)
-        want = [int(x) - int(y) * int(z)
+        want = [plain(int(x), int(y), int(z))
                 for x, y, z in zip(av, bv, cv)]
+        if fold_ops is not None:
+            if use_chain:
+                ans, _ = cloud.compute_chain(fold_ops, [ai, bi, ci])
+            else:
+                ab, _ = cloud.compute(fold_ops[0], ai, bi)
+                ans, _ = cloud.compute(fold_ops[1], ab, ci)
+            return ans, want, fold_ops[-1]
         if use_chain:
-            steps = [(ev.OP_MUL, ("opnd", 1), ("opnd", 2)),
-                     (ev.OP_SUB, ("opnd", 0), ("step", 0))]
-            ans, _ = cloud.compute_steps(steps, [ai, bi, ci])
+            ans, _ = cloud.compute_steps(step_list, [ai, bi, ci])
         else:
             bc, _ = cloud.compute(ev.OP_MUL, bi, ci)
-            ans, _ = cloud.compute(ev.OP_SUB, ai, bc)
-        return ans, want, ev.OP_SUB
+            ans, _ = cloud.compute(step_list[-1][0], ai, bc)
+        return ans, want, step_list[-1][0]
 
     def one_pass():
         """All chunks through compute + decrypt; returns (got, want)."""
@@ -177,7 +198,7 @@ def main():
         "metric": "expressions_per_sec",
         "value": round(batch / warm, 3),
         "unit": "expr/s",
-        "expr": "A+B-C" if expr == "add_sub" else "A-B*C",
+        "expr": disp,
         "batch": batch,
         "width": width,
         "adder": adder,
@@ -188,7 +209,8 @@ def main():
         "bootstraps_per_sec": round(gates / warm, 1),
         "gates_per_pass": gates,
         "errors": errors,
-        "vs_reference_149s_per_expr": round((batch / warm) * 149, 1),
+        "vs_reference_s_per_expr": round((batch / warm) * ref_s, 1),
+        "reference_s_per_expr": ref_s,
         "dp": dp,
         "chunk": chunk or batch,
         "params": p.name,
