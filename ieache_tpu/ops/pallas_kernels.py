@@ -74,12 +74,12 @@ def _ext_product_kernel(*refs, n: int, chunk: int, fuse_acc: bool):
         )
         size *= 2
 
-    # accumulate the (chunk, limb) partial products in a VMEM value and
-    # touch out_ref ONCE per program: the previous per-(v, c) RMW of
-    # the output block was 16 serial read-modify-write passes whose
-    # dependency chain gated the MXU (PROFILE_r03_components: the ext
-    # kernel ran at ~44% of the int8 floor)
-    total = None
+    # NOTE: accumulate directly into out_ref per (v, c) — r3 tried
+    # buffering the partial sums in a VMEM value with ONE out_ref
+    # touch per program; it was perf-neutral (0.2008 vs 0.1968
+    # ms/step) and its extra (bb, N) int32 live value pushed scoped
+    # vmem to 20.5M > the 16M v5e limit at the multiplier's
+    # (B=8192, bb=1024) shapes (clean AOT compile OOM).
     for c in range(n // chunk):
         if c > 0:  # advance all rows by `chunk`: row i -> roll(e, c*chunk+i)
             tscratch[:, :] = pltpu.roll(tscratch[:, :], chunk, axis=1)
@@ -92,9 +92,7 @@ def _ext_product_kernel(*refs, n: int, chunk: int, fuse_acc: bool):
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            part = part << (8 * v)
-            total = part if total is None else total + part
-    out_ref[0] += total
+            out_ref[0] += part << (8 * v)
 
 
 @functools.partial(
