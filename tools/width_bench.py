@@ -28,7 +28,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 CASES = {
     # name: (op, width, batch)
-    "mul32": ("mul", 32, 16),
+    # mul32 at B=32: 32x32=1024 internal lanes reach the ext
+    # kernel's bb=1024 blocking — the shape class where an r3 kernel
+    # edit OOM'd scoped vmem; keep this case covering it
+    "mul32": ("mul", 32, 32),
     "mul64": ("mul", 64, 8),
     "mul128": ("mul", 128, 4),
     # 256-bit operands are ~0.5 MB/lane of ciphertext; B=256 keeps the
