@@ -145,8 +145,14 @@ def external_product_pallas_t(
     import os
 
     chunk = min(int(os.environ.get("IEACHE_EXT_CHUNK", 256)), n)
+    # batch block: bb=1024 at the bootstrap's proven B<=1024 shapes;
+    # cap at 512 beyond that — with multiple bbi grid steps Mosaic
+    # double-buffers the (1, bb, N) d/acc/out windows, and bb=1024
+    # blocks then exceed the 16M scoped-vmem limit (A*B*C's second
+    # multiply at 16384 internal lanes OOM'd at 20.0M, r3)
+    bb_cap = 1024 if b <= 1024 else 512
     bb = b
-    while bb > 1024 or (b % bb):  # batch block: <=1024 and divides B
+    while bb > bb_cap or (b % bb):
         bb //= 2
     in_specs = [
         pl.BlockSpec(
