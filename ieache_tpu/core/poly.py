@@ -113,6 +113,25 @@ def _toeplitz_from_extended(e: jnp.ndarray, n: int) -> jnp.ndarray:
     return rows
 
 
+def _toeplitz_rows(e: jnp.ndarray, nrows: int) -> jnp.ndarray:
+    """(..., L) -> (..., nrows, L) where row m = roll(e, m), any L.
+
+    Generalization of :func:`_toeplitz_from_extended` to windows whose
+    length is not 2N — used by the SP-sharded bootstrap to build only
+    a local Toeplitz column block from a short sliding window.
+    """
+    rows = e[..., None, :]
+    size = 1
+    while size < nrows:
+        step = min(size, nrows - size)
+        rows = jnp.concatenate(
+            [rows, jnp.roll(rows[..., :step, :], size, axis=-1)],
+            axis=-2,
+        )
+        size += step
+    return rows
+
+
 def toeplitz_negacyclic(g: jnp.ndarray) -> jnp.ndarray:
     """(..., N) int -> (..., N, N) T with (d * g)[j] = sum_m d[m] T[m, j]."""
     n = g.shape[-1]

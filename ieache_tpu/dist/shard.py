@@ -45,6 +45,7 @@ from ieache_tpu.ops.blind_rotate import (
     _step_digits,
     blind_rotate_sharded,
     make_step_gmatrix,
+    make_step_gmatrix_local,
 )
 from ieache_tpu.ops.decompose import gadget_decompose
 from ieache_tpu.params import TFHEParams
@@ -140,11 +141,12 @@ def _external_product_step_sp(acc_local, bara_i, bk_i,
     2. rotate + diff + gadget-decompose on the gathered copy
        (replicated work — it is ~1% of the step's FLOPs);
     3. contract the digits against only the LOCAL column block of the
-       step's Toeplitz operand — the MXU contraction work shrinks by
-       the sp factor (the transient G tensor is still built full-size
-       per device and then sliced: XLA cannot fold a traced
-       axis_index start through the concat-doubling Toeplitz build,
-       so SP buys FLOPs, not peak transient memory);
+       step's Toeplitz operand, built directly at local size by
+       ``make_step_gmatrix_local`` (r4: the windowed block build —
+       per-device transient G is the (N, N/sp) block + one
+       (N/sp, 2N/sp) build window, so BOTH the MXU work and the peak
+       transient memory shrink with sp; the r3 version built the full
+       (N, 2N) rows per device and only sliced afterwards);
     4. the output block IS this shard's new acc slice (no reduce
        needed: the contraction is over rows x full-N, sharded on the
        output axis j, unlike tp which shards the contraction axis and
@@ -155,9 +157,8 @@ def _external_product_step_sp(acc_local, bara_i, bk_i,
         acc_local, sp_axis, axis=acc_local.ndim - 1, tiled=True
     )                                                    # (B, k+1, N)
     digits = _step_digits(acc_full, bara_i, params)      # (B, rows, N)
-    g = make_step_gmatrix(bk_i, params)        # (L, rows, kp1, N, N)
     start = jax.lax.axis_index(sp_axis) * n_local
-    g_local = jax.lax.dynamic_slice_in_dim(g, start, n_local, 4)
+    g_local = make_step_gmatrix_local(bk_i, params, start, n_local)
 
     out = jnp.zeros_like(acc_local)
     if params.digit_limbs == 1:

@@ -157,3 +157,32 @@ def test_sharded_bootstrap_sp_polynomial_axis():
     out = np.asarray(boot_fn(ct, dck.bk, dck.ks_limbs))
     np.testing.assert_array_equal(out, ref)
     np.testing.assert_array_equal(encrypt.decrypt_bits(ks, out), bits)
+
+
+def test_step_gmatrix_local_blocks_match_full():
+    """make_step_gmatrix_local (the r4 SP memory fix: windowed block
+    build, no full-size (N, 2N) transient) is bit-identical to slicing
+    the full Toeplitz operand, at every shard offset."""
+    import jax.numpy as jnp
+
+    from ieache_tpu import params as P
+    from ieache_tpu.ops.blind_rotate import (
+        make_step_gmatrix,
+        make_step_gmatrix_local,
+    )
+
+    p = P.TEST_TINY
+    rng = np.random.RandomState(21)
+    bk_i = rng.randint(-2**31, 2**31,
+                       (p.trgsw_rows, p.k + 1, p.N)).astype(np.int32)
+    full = np.asarray(make_step_gmatrix(jnp.asarray(bk_i), p))
+    for sp in (2, 4):
+        nl = p.N // sp
+        for s in range(sp):
+            loc = np.asarray(make_step_gmatrix_local(
+                jnp.asarray(bk_i), p, jnp.int32(s * nl), nl
+            ))
+            np.testing.assert_array_equal(
+                loc, full[..., s * nl:(s + 1) * nl],
+                err_msg=f"sp={sp} shard={s}",
+            )
