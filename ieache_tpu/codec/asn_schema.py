@@ -34,10 +34,13 @@ _COMMON = [
 ]
 _JOB = ["DataUserInput", "IPADDRESSES", "OPERATIONS", "POSTFIX"]
 _UNUSED = ["DataDragonflyVerif", "DataInitate"]
+#: Keygen's schema copy misspells DataInitate as "DataIntiate"
+#: (`Keygen/declaration.asn:11`) — preserved verbatim per role
+_UNUSED_KEYGEN = ["DataDragonflyVerif", "DataIntiate"]
 NODE_TYPES = {
     "client": list(_COMMON),
     "cloud": _JOB + _COMMON,
-    "keygen": _UNUSED + _COMMON,
+    "keygen": _UNUSED_KEYGEN + _COMMON,
     "output": _JOB + _UNUSED + _COMMON,
 }
 

@@ -49,6 +49,9 @@ DataDragonflyVerif = {
     "name": "DataDragonflyVerif", "fields": [("code", "INTEGER")]
 }
 DataInitate = {"name": "DataInitate", "fields": [("code", "INTEGER")]}
+#: Keygen's copy of the schema misspells DataInitate — preserved
+#: verbatim for wire parity (`/root/reference/Keygen/declaration.asn:11`)
+DataIntiate = {"name": "DataIntiate", "fields": [("code", "INTEGER")]}
 DataMac = {"name": "DataMac", "fields": [("data", "IA5String")]}
 DataKey = {
     "name": "DataKey",
@@ -68,7 +71,8 @@ ALL = {
     s["name"]: s
     for s in [
         DataUserInput, IPADDRESSES, OPERATIONS, POSTFIX, DataMd5,
-        DataDragonflyVerif, DataInitate, DataMac, DataKey,
+        DataDragonflyVerif, DataInitate, DataIntiate, DataMac,
+        DataKey,
         DataScalarElement, DataStaAp, DataFsize, DataContent,
         DataIndicator, DataAnsSize, DataAnswer,
     ]
