@@ -110,3 +110,53 @@ def test_golden_full_three_ip_job():
     assert ber.encode_message(schema.DataUserInput, values) == golden
     decoded, _ = ber.decode_message(schema.DataUserInput, golden)
     assert decoded == values
+
+
+# ---------------------------------------------------------------------------
+# Second-source pin (r4): an independently written minimal encoder
+# (tests/ber2.py — X.690 transcribed separately, different algorithms)
+# must byte-agree with codec/ber.py on EVERY message type over a sweep
+# of representative and edge values, with asn1tools still absent.
+# ---------------------------------------------------------------------------
+
+def _sample_values(sch, variant):
+    """Generate a value dict for a schema; variant 0 = full, higher
+    variants drop OPTIONAL tails / vary magnitudes."""
+    ints = [0, 1, 127, 128, 255, 256, -1, -128, 162304, 2**31 - 1,
+            -2**31][variant % 11]
+    out = {}
+    for i, field in enumerate(sch["fields"]):
+        fname, ftype = field[0], field[1]
+        optional = len(field) > 2 and field[2]
+        if optional and variant == 1 and i >= len(sch["fields"]) - 1:
+            continue                       # drop the optional tail
+        if isinstance(ftype, dict):
+            out[fname] = _sample_values(ftype, variant)
+        elif ftype == "INTEGER":
+            out[fname] = ints
+        elif ftype == "OCTET STRING":
+            out[fname] = bytes((i * 7 + j) % 256
+                               for j in range(variant * 37 % 300))
+        else:                              # IA5String
+            out[fname] = "msg-%d-%d" % (i, variant) + "x" * (variant * 29)
+    return out
+
+
+def test_second_source_encoder_agrees_on_all_types():
+    import ber2
+
+    for name, sch in schema.ALL.items():
+        for variant in range(6):
+            values = _sample_values(sch, variant)
+            ours = ber.encode_message(sch, values)
+            theirs = ber2.encode(sch, values)
+            assert ours == theirs, (name, variant)
+            decoded, end = ber.decode_message(sch, ours)
+            assert end == len(ours), (name, variant)
+
+
+def test_second_source_matches_golden_fixtures():
+    import ber2
+
+    for sch, values, golden in GOLDEN:
+        assert ber2.encode(sch, values) == golden
