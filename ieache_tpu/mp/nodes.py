@@ -116,14 +116,20 @@ def _recv_keypair(sock, pmk):
     transport.send_ack(sock)
     size_n = transport.recv_msg(sock, schema.DataFsize)["data"]
     transport.send_ack(sock)
-    buf_k, buf_n = b"", b""
-    while len(buf_k) < size_k or len(buf_n) < size_n:
+    # accumulate chunks in lists: quadratic bytes-append on ~33 MB of
+    # lambda=110 key material in 8 KiB chunks cost ~13 s per peer
+    # (measured r4, tools/keyplane_bench.py) vs ~0.4 s with join
+    parts_k, parts_n = [], []
+    got_k = got_n = 0
+    while got_k < size_k or got_n < size_n:
         values = transport.recv_msg(sock, schema.DataKey)
-        buf_k += values["key"]
-        buf_n += values["nbit"]
+        parts_k.append(values["key"])
+        parts_n.append(values["nbit"])
+        got_k += len(values["key"])
+        got_n += len(values["nbit"])
         transport.send_ack(sock)
-    key_blob = keywrap.decrypt_bytes(pmk, buf_k[:size_k])
-    nbit_blob = keywrap.decrypt_bytes(pmk, buf_n[:size_n])
+    key_blob = keywrap.decrypt_bytes(pmk, b"".join(parts_k)[:size_k])
+    nbit_blob = keywrap.decrypt_bytes(pmk, b"".join(parts_n)[:size_n])
     want = transport.recv_msg(sock, schema.DataMd5)["data"]
     got = (hashlib.md5(key_blob).hexdigest() + ","
            + hashlib.md5(nbit_blob).hexdigest())

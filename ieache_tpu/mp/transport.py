@@ -123,16 +123,17 @@ def recv_blob(sock: socket.socket, size_schema=None,
     content_schema = content_schema or schema.DataContent
     size = recv_msg(sock, size_schema)["data"]
     send_ack(sock, True)
-    buf = b""
-    while len(buf) < size:
+    parts, got = [], 0  # list+join: quadratic += cost seconds on
+    while got < size:   # multi-MB ciphertext/key blobs (r4 keyplane)
         try:
             values = recv_msg(sock, content_schema)
         except ValueError:
             send_ack(sock, False)  # decode failure -> nack, peer rewinds
             continue
-        buf += values["data"]
+        parts.append(values["data"])
+        got += len(values["data"])
         send_ack(sock, True)
-    return buf
+    return b"".join(parts)
 
 
 # -- Dragonfly SAE over a socket -------------------------------------------
