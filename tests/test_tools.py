@@ -91,3 +91,27 @@ def test_scaling_bench_smoke():
                  "SB_BATCH_PER_CHIP": "8", "SB_ITERS": "1"})
     assert recs[-1]["metric"] == "scaling_efficiency"
     assert all(r.get("errors", 0) == 0 for r in recs[:-1])
+
+
+def test_comm_model_meets_scaling_target():
+    """The analytical comm model (VERDICT r3 item 3b) emits per-axis
+    projections, and the primary dp axis meets the >=80% @ v5e-16
+    BASELINE target."""
+    (rec,) = _run(["tools/comm_model.py"], {})
+    rows = {(r["axis"], r["ways"], r["chips"],
+             r["batch_per_chip"]): r for r in rec["rows"]}
+    assert rows[("dp", 16, 16, 1024)]["projected_efficiency"] >= 0.99
+    # tp/sp carry one collective per step: quantified, below dp
+    assert 0 < rows[("tp", 2, 8, 1024)]["projected_efficiency"] < 1
+    assert rows[("sp", 4, 16, 8)]["comm_bytes_per_step"] > 0
+
+
+def test_keyplane_bench_smoke():
+    """Key-plane benchmark JSON contract at tiny params (the lambda=110
+    head-to-head runs in rounds; this guards the harness)."""
+    (rec,) = _run(["tools/keyplane_bench.py"],
+                  {"KB_PARAMS": "test_tiny", "KB_CLIENTS": "1",
+                   "KB_ITERS": "1"})
+    assert rec["probe"] == "keyplane_fig9_fig10"
+    one = rec["per_clients"]["1"]
+    assert one["total_s"] > 0 and len(one["client_exchange_s"]) == 1
