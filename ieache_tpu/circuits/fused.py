@@ -224,66 +224,78 @@ def _place_partial(partial, shift_onehot, n):
 
 @jax.jit
 def schoolbook_mul_csa(x, y, key: DeviceCloudKey):
-    """W x W -> 2W bit product via carry-save accumulation, one dispatch.
+    """W x W -> 2W bit product via a *windowed* carry-save accumulator,
+    one dispatch.
 
     The reference's mul32 (`cloud.c:115-218`) ripple-adds each shifted
     partial product into the accumulator — W rounds x a 2W-bit serial
     carry chain (~4W² serial bootstrap waves of only B lanes each).
     Here the accumulator is a redundant (sum, carry) pair and each
-    round folds its partial in with ONE 3:2 compressor over all 2W bit
-    positions at once (no carry chain):
+    round folds its partial in with ONE 3:2 compressor (no carry
+    chain):
 
         maj  = sign(s + c + p)             (majority = carry bit)
         sum' = sign(s + c + p - 2·maj)     (parity fix-up)
-        c'   = maj << 1
 
     — the maj2 full-adder trick (`_adder_bit_step_maj2`) applied
-    bit-parallel.  One carry-propagate add at the end resolves the
-    redundant form.  Totals: W² + 4W² + 4W bootstraps (vs 5W² for the
-    ripple variant) but serial depth collapses to 3W + 4W waves, and
-    every compress wave is B·2W lanes wide — the MXU stays saturated
-    even at small batch, which is what makes W=64/128 multiplies
-    practical on hardware (BASELINE: mul64 ≈ 37k, mul128 ≈ 190k
-    bootstraps per expression).
+    bit-parallel.  Round i's partial covers absolute bits [i, i+W)
+    only, so the redundant state is a **W+1-bit sliding window**, not
+    the full 2W bits (the r3 shape): the window's bottom bit receives
+    its last contribution in round i and pops out FINAL each round
+    (scan output), the window slides up one bit, and partials always
+    land at window offset 0 — which also deletes the per-round
+    shift-matrix einsum.  One W-bit carry-propagate add at the end
+    resolves the remaining window.
+
+    Totals: W² AND + 2·W·(W+1) compress + 2·pb·W final-add bootstraps
+    (vs W² + 4W² + 2·pb·2W for the r3 full-width variant — ~40% fewer)
+    and the live scan state drops from 2·(B, 2W, n+1) to
+    2·(B, W+1, n+1) (~2x), which is what bounds the A*B*C chain's
+    second multiply (VERDICT r3: ~2 GB live at B=256 crashed the
+    tunneled worker; see CLAUDE.md live-memory limit).
     """
     b, w, m = x.shape
     n = key.params.n
-    ow = 2 * w
 
-    zeros = _like_vma(
-        gates.CONSTANT(jnp.zeros((b, ow), jnp.int32), n), x
+    zero_col = _like_vma(
+        gates.CONSTANT(jnp.zeros((b, 1), jnp.int32), n), x
+    )
+    win0 = _like_vma(
+        gates.CONSTANT(jnp.zeros((b, w + 1), jnp.int32), n), x
     )
     xf = x.reshape(b * w, m)
     ys = jnp.moveaxis(y, 1, 0)                 # (W, B, n+1)
-    shift_mats = _mul_shift_matrices(w, ow)
 
-    def round_step(carry, yi_and_shift):
-        s, c = carry
-        yi, shift_onehot = yi_and_shift
+    def round_step(carry, yi):
+        sw, cw = carry                         # (B, W+1, m) each
         partial = _and_partial(xf, yi, w, key).reshape(b, w, m)
-        p = _place_partial(partial, shift_onehot, n)
-        tot = (s + c + p).reshape(b * ow, m)   # phases {±3μ, ±μ}
+        p = jnp.concatenate([partial, zero_col], axis=1)
+        tot = (sw + cw + p).reshape(b * (w + 1), m)  # {±3μ, ±μ}
         maj = _bootstrap_raw(tot, key)
-        sum_ = _bootstrap_raw(tot - 2 * maj, key).reshape(b, ow, m)
-        majw = maj.reshape(b, ow, m)
-        c_new = jnp.concatenate(
-            [zeros[:, :1, :], majw[:, :-1, :]], axis=1
-        )  # carry shifts up one bit; the top carry drops (mod 2^2W)
-        return (sum_, c_new), None
+        sum_ = _bootstrap_raw(tot - 2 * maj, key).reshape(b, w + 1, m)
+        out_bit = sum_[:, 0, :]                # absolute bit i: FINAL
+        # slide the window: sum' moves down one slot (bit i+1 becomes
+        # the new bottom), maj lands one bit up == the same new slots
+        sw_new = jnp.concatenate([sum_[:, 1:, :], zero_col], axis=1)
+        cw_new = maj.reshape(b, w + 1, m)
+        return (sw_new, cw_new), out_bit
 
-    (s, c), _ = jax.lax.scan(round_step, (zeros, zeros),
-                             (ys, shift_mats))
+    (sw, cw), low_bits = jax.lax.scan(round_step, (win0, win0), ys)
+    low = jnp.moveaxis(low_bits, 0, 1)         # (B, W, m): bits 0..W-1
     zero_bit = _like_vma(
         gates.CONSTANT(jnp.zeros((b,), jnp.int32), n), x
     )
-    out, _ = _ripple_add_fused(s, c, zero_bit, key, adder_mode())
-    return out
+    # resolve the remaining window = absolute bits W..2W (top drops
+    # mod 2^2W)
+    hi, _ = _ripple_add_fused(sw[:, :w, :], cw[:, :w, :], zero_bit,
+                              key, adder_mode())
+    return jnp.concatenate([low, hi], axis=1)
 
 
 #: bootstraps per W x W multiply lane, by mode (evaluator accounting);
 #: pb = adder bootstraps/bit
 MUL_BOOTSTRAPS = {
-    "csa": lambda w, pb: 5 * w * w + 2 * pb * w,
+    "csa": lambda w, pb: w * w + 2 * w * (w + 1) + pb * w,
     "shift": lambda w, pb: (1 + 2 * pb) * w * w,
 }
 

@@ -341,21 +341,34 @@ def blind_rotate(
             # explicitly with IEACHE_PALLAS_STEP=overlap while that is
             # being characterized.
             step_mode = "split"
-        if step_mode == "overlap":
-            bb = acc0.shape[0]
-            while bb > 128 or (acc0.shape[0] % bb):
-                bb //= 2
+        if step_mode in ("overlap", "overlap2"):
+            from ieache_tpu.ops.pallas_kernels import _pick_bb
+
+            bb = _pick_bb(acc0.shape[0], 128)
             if bb % ((params.k + 1) * params.trgsw_rows * 8):
+                # an EXPLICIT overlap request that cannot be honored
+                # must not silently measure split (ADVICE r3)
+                import warnings
+
+                warnings.warn(
+                    f"IEACHE_PALLAS_STEP={step_mode}: batch "
+                    f"{acc0.shape[0]} has no sublane-aligned rotation "
+                    "slicing; falling back to 'split'",
+                    stacklevel=2,
+                )
                 step_mode = "split"
-        if step_mode == "overlap":
+        if step_mode in ("overlap", "overlap2"):
             from ieache_tpu.ops.pallas_kernels import (
+                cmux_step_overlap2_pallas,
                 cmux_step_overlap_pallas,
             )
 
+            kern = (cmux_step_overlap2_pallas if step_mode == "overlap2"
+                    else cmux_step_overlap_pallas)
+
             def step_t(acc_t, xs):
                 bk_i, bara_i = xs
-                return cmux_step_overlap_pallas(acc_t, bara_i, bk_i,
-                                                params), None
+                return kern(acc_t, bara_i, bk_i, params), None
         elif step_mode == "fused2":
             from ieache_tpu.ops.pallas_kernels import cmux_step_pallas
 

@@ -34,24 +34,77 @@ from ieache_tpu.params import TFHEParams
 _LIMB_BIAS = -0x7F7F7F80
 
 
-def _ext_product_kernel(*refs, n: int, chunk: int, fuse_acc: bool):
+def _pick_bb(b: int, cap: int) -> int:
+    """Largest batch block <= cap that divides ``b`` AND is a multiple
+    of 8 (the Mosaic sublane tile).
+
+    The r2/r3 halving loop assumed power-of-two batches; the windowed
+    CSA multiplier (r4) produces b*(W+1) lanes (e.g. 1056 = 8*132)
+    where halving lands on a non-multiple-of-8 divisor and Mosaic
+    rejects the block shape.  Device callers pad the batch to a
+    multiple of 8 (blind_rotate), so bb=8 always qualifies there; for
+    interpret-mode batches < 8 the legacy halving fallback applies
+    (Mosaic tiling is not enforced in interpret mode).
+    """
+    if b % 8:
+        bb = b
+        while bb > cap or (b % bb):
+            bb //= 2
+        return bb
+    best = 8
+    for bb in range(8, min(cap, b) + 1, 8):
+        if b % bb == 0:
+            best = bb
+    return best
+
+
+def _ext_product_kernel(*refs, n: int, chunk: int, fuse_acc: bool,
+                        impl: str = "arith", fold: int = 4):
     """One (o, p) tile: out[o] += digits_p ⊛ bk[p, o].
 
-    The int32 Toeplitz rows are built `chunk` at a time in VMEM
-    (doubling static rolls for the first chunk, then one roll per
-    chunk — Mosaic only rotates 32-bit data).  The rows carry the
-    +0x80808080 limb bias (constant per coefficient, so it commutes
-    with the rolls): limb v is then just ``byte_v - 128``, with no
-    serial peel chain between the four MXU matmuls.
+    The int32 Toeplitz rows are built ONCE per program in VMEM (doubling
+    static rolls — Mosaic only rotates 32-bit data); chunk c's matmul
+    tile is then the 256-aligned sliding column window
+    ``scratch[:, n - c*chunk : 2n - c*chunk]`` of the SAME rows (row i
+    = roll(e, i), so column n - c*chunk + j holds e[n + j - c*chunk - i]
+    — exactly Toeplitz row c*chunk + i), which deletes the r2/r3
+    per-chunk advance rolls (~6 MB of VMEM roll traffic per program).
+
+    ``impl`` selects how the four int8 limb planes are produced:
+
+    * ``"arith"``: per-(chunk, limb) shift/mask/sub extraction from the
+      +0x80808080-biased rows — ~17M VPU element-ops per program at
+      chunk=256, which r3 profiling identified as the dominant non-MXU
+      cost (the kernel measured ~44% of the int8-MXU floor with the
+      VPU work serializing against the matmuls).
+    * ``"plane"``: the scratch additionally carries a per-byte XOR with
+      0x80 (``(x + 0x80808080) ^ 0x80808080``): the sign-extended
+      byte_v of the result is then exactly the *balanced* limb_v, so
+      each limb plane is extracted ONCE per program into an int8
+      plane scratch with two shifts (``(x << 24-8v) >> 24``) + a
+      narrowing cast — ~6M VPU ops instead of ~17M — and every chunk's
+      tile is a plane-scratch column window (no per-chunk extraction
+      at all).  (A stride-4 sublane slice of ``pltpu.bitcast(x, int8)``
+      would be free, but Mosaic rejects strided slices on device —
+      'extract_strided_slice strides confined to [1, 2)', r4 probe.)
+
+    ``fold`` = limbs combined per ``out_ref`` read-modify-write
+    (4 = one RMW per limb as r2/r3 shipped; 1 = all four limb parts of
+    a chunk tree-summed into one RMW).  r3 measured a persistent
+    whole-program accumulator value as perf-neutral *and* a VMEM OOM
+    at the multiplier's (B=8192, bb=1024) shapes; per-chunk folding
+    keeps at most one transient (bb, N) partial alive.
 
     With ``fuse_acc`` the output block is seeded from the accumulator
     instead of zeros, so the scan's ``acc + out`` add (3 HBM passes
     over 8 MB at B=1024) disappears into the kernel.
     """
-    if fuse_acc:
-        d_ref, bk_ref, acc_ref, out_ref, tscratch = refs
-    else:
-        d_ref, bk_ref, out_ref, tscratch = refs
+    refs = list(refs)
+    d_ref, bk_ref = refs.pop(0), refs.pop(0)
+    acc_ref = refs.pop(0) if fuse_acc else None
+    out_ref = refs.pop(0)
+    tscratch = refs.pop(0) if impl != "probe_noextract" else None
+    pscratch = refs.pop(0) if impl.startswith(("plane", "probe")) else None
     p = pl.program_id(2)
 
     @pl.when(p == 0)
@@ -63,36 +116,60 @@ def _ext_product_kernel(*refs, n: int, chunk: int, fuse_acc: bool):
 
     g = bk_ref[0, 0, :, :]                       # (1, N) int32
     e = jnp.concatenate([-g, g], axis=1) + jnp.int32(_LIMB_BIAS)
+    if impl == "plane":
+        e = e ^ jnp.int32(_LIMB_BIAS)            # flip each byte's top bit
     d = d_ref[0]                                 # (B, N) int8
 
-    # first chunk: row i = roll(e, i), by doubling
-    tscratch[0:1, :] = e
-    size = 1
-    while size < chunk:
-        tscratch[size:2 * size, :] = pltpu.roll(
-            tscratch[0:size, :], size, axis=1
-        )
-        size *= 2
+    if impl != "probe_noextract":
+        # row i = roll(e, i), by doubling (once per program)
+        tscratch[0:1, :] = e
+        size = 1
+        while size < chunk:
+            tscratch[size:2 * size, :] = pltpu.roll(
+                tscratch[0:size, :], size, axis=1
+            )
+            size *= 2
 
-    # NOTE: accumulate directly into out_ref per (v, c) — r3 tried
-    # buffering the partial sums in a VMEM value with ONE out_ref
-    # touch per program; it was perf-neutral (0.2008 vs 0.1968
-    # ms/step) and its extra (bb, N) int32 live value pushed scoped
-    # vmem to 20.5M > the 16M v5e limit at the multiplier's
-    # (B=8192, bb=1024) shapes (clean AOT compile OOM).
-    for c in range(n // chunk):
-        if c > 0:  # advance all rows by `chunk`: row i -> roll(e, c*chunk+i)
-            tscratch[:, :] = pltpu.roll(tscratch[:, :], chunk, axis=1)
-        x = tscratch[:, n:]                      # (chunk, N) int32, biased
-        dc = d[:, c * chunk:(c + 1) * chunk]     # (B, chunk) int8
+    if impl in ("plane", "probe_nodot"):
+        xs = tscratch[:, :]
         for v in range(TORUS_LIMBS):
-            s = ((x >> (8 * v)) & 0xFF) - 128    # balanced limb (exact)
+            sx = (xs << (24 - 8 * v)) >> 24      # sign-extended byte_v
+            pscratch[v] = sx.astype(jnp.int8)
+
+    if impl == "probe_nodot":
+        # perf probe: build + extract only; a token broadcast add of
+        # one extracted row keeps the data dependency alive (output is
+        # NOT the external product)
+        out_ref[0] += pscratch[0, 0:1, n:2 * n].astype(jnp.int32)
+        return
+
+    for c in range(n // chunk):
+        dc = d[:, c * chunk:(c + 1) * chunk]     # (B, chunk) int8
+        lo = n - c * chunk                       # sliding tile window
+        parts = []
+        for v in range(TORUS_LIMBS):
+            if impl in ("plane", "probe_noextract"):
+                # probe_noextract: pscratch is UNINITIALIZED garbage —
+                # dots + recombination timing without build/extract
+                s = pscratch[v, :, lo:lo + n]
+            else:
+                x = tscratch[:, lo:lo + n]       # (chunk, N), biased
+                s = (((x >> (8 * v)) & 0xFF) - 128).astype(jnp.int8)
             part = jax.lax.dot_general(
-                dc, s.astype(jnp.int8),
+                dc, s,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            out_ref[0] += part << (8 * v)
+            parts.append(part << (8 * v) if v else part)
+            if len(parts) == fold:
+                acc = parts[0]
+                if len(parts) == 4:              # balanced tree-sum
+                    acc = (parts[0] + parts[1]) + (parts[2] + parts[3])
+                else:
+                    for pt in parts[1:]:
+                        acc = acc + pt
+                out_ref[0] += acc
+                parts = []
 
 
 @functools.partial(
@@ -140,20 +217,33 @@ def external_product_pallas_t(
     fuse_acc = acc_t is not None
 
     # IEACHE_EXT_CHUNK (trace-time, like IEACHE_PALLAS): Toeplitz rows
-    # built per VMEM block; larger chunks mean fewer advance-rolls and
-    # fewer accumulate iterations but a bigger (chunk, 2N) scratch
+    # built per VMEM block; larger chunks mean fewer fold/RMW rounds
+    # but a bigger (chunk, 2N) int32 (+ int8 plane) scratch.
+    # IEACHE_EXT_IMPL: "plane" (default; once-per-program limb plane
+    # extraction — measured r4) or "arith" (r2/r3 per-chunk shift-mask
+    # extraction).  IEACHE_EXT_FOLD: limb parts per out_ref RMW (1 =
+    # per-chunk tree-sum, default; 4 = legacy per-limb).
     import os
 
-    chunk = min(int(os.environ.get("IEACHE_EXT_CHUNK", 256)), n)
+    # default chunk: 256 for throughput batches; small batches are
+    # bound by the batch-INDEPENDENT Toeplitz build+extract (~13 us/
+    # step at chunk=256, r4 probe_nodot), whose cost is proportional
+    # to chunk (the sliding-window tiles reuse one (chunk, 2N) build),
+    # so latency-shaped batches drop to chunk=64
+    default_chunk = 256 if b >= 128 else 64
+    chunk = min(int(os.environ.get("IEACHE_EXT_CHUNK", default_chunk)),
+                n)
+    impl = os.environ.get("IEACHE_EXT_IMPL", "plane")
+    fold = int(os.environ.get("IEACHE_EXT_FOLD", 1))
+    if fold not in (1, 2, 4):
+        raise ValueError("IEACHE_EXT_FOLD must be 1, 2 or 4")
     # batch block: bb=1024 at the bootstrap's proven B<=1024 shapes;
     # cap at 512 beyond that — with multiple bbi grid steps Mosaic
     # double-buffers the (1, bb, N) d/acc/out windows, and bb=1024
     # blocks then exceed the 16M scoped-vmem limit (A*B*C's second
     # multiply at 16384 internal lanes OOM'd at 20.0M, r3)
     bb_cap = 1024 if b <= 1024 else 512
-    bb = b
-    while bb > bb_cap or (b % bb):
-        bb //= 2
+    bb = _pick_bb(b, bb_cap)
     in_specs = [
         pl.BlockSpec(
             (1, bb, n), lambda o, bbi, p: (p, bbi, 0),
@@ -173,7 +263,7 @@ def external_product_pallas_t(
         args.append(acc_t)
     out = pl.pallas_call(
         functools.partial(_ext_product_kernel, n=n, chunk=chunk,
-                          fuse_acc=fuse_acc),
+                          fuse_acc=fuse_acc, impl=impl, fold=fold),
         grid=(kp1, b // bb, rows),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
@@ -181,7 +271,12 @@ def external_product_pallas_t(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((kp1, b, n), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((chunk, 2 * n), jnp.int32)],
+        scratch_shapes=(
+            ([pltpu.VMEM((chunk, 2 * n), jnp.int32)]
+             if impl != "probe_noextract" else [])
+            + ([pltpu.VMEM((TORUS_LIMBS, chunk, 2 * n), jnp.int8)]
+               if impl.startswith(("plane", "probe")) else [])
+        ),
         interpret=interpret,
     )(*args)
     return out                                    # (kp1, B, N)
@@ -294,9 +389,7 @@ def cmux_step_pallas(acc_t: jnp.ndarray, bara_i: jnp.ndarray,
         off -= 2**32
 
     chunk = min(256, n)
-    bb = b
-    while bb > 256 or (b % bb):
-        bb //= 2
+    bb = _pick_bb(b, 256)
 
     return pl.pallas_call(
         functools.partial(
@@ -478,9 +571,7 @@ def cmux_step_overlap_pallas(acc_t: jnp.ndarray, bara_i: jnp.ndarray,
     # blocks also shrink the serial block-0 prologue share (1/nb).
     chunk = min(128, n)
     nslices = kp1 * rows
-    bb = b
-    while bb > 128 or (b % bb):
-        bb //= 2
+    bb = _pick_bb(b, 128)
     nb = b // bb
     rows_per = bb // nslices
     if rows_per % 8 or rows_per * nslices != bb:
@@ -560,9 +651,7 @@ def cmux_step_overlap2_pallas(acc_t: jnp.ndarray, bara_i: jnp.ndarray,
 
     chunk = min(128, n)
     nslices = kp1 * rows
-    bb = b
-    while bb > 128 or (b % bb):
-        bb //= 2
+    bb = _pick_bb(b, 128)
     nb = b // bb
     rows_per = bb // nslices
     if rows_per % 8 or rows_per * nslices != bb:
@@ -684,9 +773,7 @@ def rot_diff_decompose_pallas(
         # as systematically wrong mul128 products at B=4; callers now
         # pad via blind_rotate)
         raise ValueError(f"batch {b} must be a multiple of 8")
-    bb = b
-    while bb > 256 or (b % bb):
-        bb //= 2
+    bb = _pick_bb(b, 256)
 
     out = pl.pallas_call(
         functools.partial(

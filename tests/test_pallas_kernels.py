@@ -37,6 +37,51 @@ def test_pallas_external_product_matches_xla():
     np.testing.assert_array_equal(got, want)
 
 
+def test_pallas_external_product_impl_variants():
+    """Every (IEACHE_EXT_IMPL, IEACHE_EXT_FOLD) kernel variant is
+    bit-identical to the XLA reference.  The env is read at trace
+    time, so caches are cleared between combos."""
+    import os
+
+    import jax
+
+    p = P.TEST_TINY
+    rng = np.random.RandomState(11)
+    b = 16
+    digits = rng.randint(-128, 128,
+                         (b, p.trgsw_rows, p.N)).astype(np.int8)
+    bk_i = rng.randint(-2**31, 2**31,
+                       (p.trgsw_rows, p.k + 1, p.N)).astype(np.int32)
+
+    g = br.make_step_gmatrix(jnp.asarray(bk_i), p)
+    out = jnp.zeros((b, p.k + 1, p.N), jnp.int32)
+    for v in range(poly.TORUS_LIMBS):
+        out = out + (br._dot_digits_g(jnp.asarray(digits), g[v]) << (8 * v))
+    want = np.asarray(out)
+
+    saved = {k: os.environ.get(k)
+             for k in ("IEACHE_EXT_IMPL", "IEACHE_EXT_FOLD")}
+    try:
+        for impl in ("arith", "plane"):
+            for fold in (1, 2, 4):
+                os.environ["IEACHE_EXT_IMPL"] = impl
+                os.environ["IEACHE_EXT_FOLD"] = str(fold)
+                jax.clear_caches()
+                got = np.asarray(external_product_pallas(
+                    jnp.asarray(digits), jnp.asarray(bk_i), p,
+                    interpret=True,
+                ))
+                np.testing.assert_array_equal(
+                    got, want, err_msg=f"impl={impl} fold={fold}"
+                )
+    finally:
+        for k, v in saved.items():
+            os.environ.pop(k, None)
+            if v is not None:
+                os.environ[k] = v
+        jax.clear_caches()
+
+
 def test_pallas_rot_diff_decompose_matches_xla():
     """Fused rotation+diff+decompose kernel == the XLA barrel shifter
     + gadget_decompose reference (bit-exact), incl. the transposed

@@ -1,15 +1,19 @@
 #!/usr/bin/env python
 """Per-step cost of each Pallas CMux step kernel (split/fused2/overlap).
 
-Times a SB_STEPS-step blind-rotation scan per step mode on the active
+Times an ST_STEPS-step blind-rotation scan per step mode on the active
 device, printing staged progress (compile vs run) with flush so a
 pathological compile is visible immediately, plus one JSON line per
 mode and a summary.  Unlike tools/profile_scan.py this exercises the
 exact scan bodies `blind_rotate` dispatches (transposed layout,
 IEACHE_PALLAS_STEP), so it measures what bench.py will see.
 
-Env: SB_MODES (comma list, default "split,fused2,overlap"),
-SB_B (1024), SB_STEPS (128), SB_PARAMS (ieache_110_l2), SB_ITERS (2).
+Env (ST_ prefix; legacy SB_ still honored but collides with
+scaling_bench): ST_MODES (comma list, default "split,fused2" -- the
+overlap kernel under lax.scan is the documented compile pathology on
+this platform, 581 s at 8 steps and a service wedge if killed
+(CLAUDE.md, artifacts/STEPMODE_r03.json); request it EXPLICITLY),
+ST_B (1024), ST_STEPS (128), ST_PARAMS (ieache_110_l2), ST_ITERS (8).
 """
 
 import json
@@ -29,13 +33,17 @@ def main():
     from ieache_tpu import params as P
     from ieache_tpu.ops import pallas_kernels as pk
 
-    pname = os.environ.get("SB_PARAMS", "ieache_110_l2")
+    def env(name, default):
+        return os.environ.get("ST_" + name,
+                              os.environ.get("SB_" + name, default))
+
+    pname = env("PARAMS", "ieache_110_l2")
     p = {"ieache_110": P.IEACHE_110,
          "ieache_110_l2": P.IEACHE_110_FAST}[pname]
-    b = int(os.environ.get("SB_B", 1024))
-    steps = int(os.environ.get("SB_STEPS", 128))
-    iters = int(os.environ.get("SB_ITERS", 8))
-    modes = os.environ.get("SB_MODES", "split,fused2,overlap").split(",")
+    b = int(env("B", 1024))
+    steps = int(env("STEPS", 128))
+    iters = int(env("ITERS", 8))
+    modes = env("MODES", "split,fused2").split(",")
 
     rows, kp1, n = p.trgsw_rows, p.k + 1, p.N
     rng = np.random.RandomState(7)
@@ -47,11 +55,13 @@ def main():
         rng.randint(-2**31, 2**31, (steps, rows, kp1, n)).astype(np.int32))
 
     def body(mode):
-        if mode == "overlap":
+        if mode in ("overlap", "overlap2"):
+            kern = (pk.cmux_step_overlap2_pallas if mode == "overlap2"
+                    else pk.cmux_step_overlap_pallas)
+
             def step(acc, xs):
                 bk_i, bara_i = xs
-                return pk.cmux_step_overlap_pallas(acc, bara_i, bk_i,
-                                                   p), None
+                return kern(acc, bara_i, bk_i, p), None
         elif mode == "fused2":
             def step(acc, xs):
                 bk_i, bara_i = xs
