@@ -290,3 +290,22 @@ def test_pallas_overlap2_step_matches_fused2():
                              jnp.asarray(bk_i), p, interpret=True)
         )
         np.testing.assert_array_equal(got, want)
+
+
+def test_pick_bb_legal_blocks():
+    """Batch blocks must divide b AND be sublane-tile (8) multiples —
+    the windowed CSA's b*(W+1) lane counts broke the old halving
+    search on device (Mosaic block-shape error at 1056 = 8*132)."""
+    from ieache_tpu.ops.pallas_kernels import _pick_bb
+
+    for b, cap in [(1056, 512), (1056, 256), (4352, 512), (8448, 512),
+                   (17408, 512), (520, 512), (1024, 1024), (8, 256),
+                   (256, 1024)]:
+        bb = _pick_bb(b, cap)
+        assert b % bb == 0 and bb % 8 == 0 and bb <= cap, (b, cap, bb)
+    # known values: the width-bench classes that ran on hardware
+    assert _pick_bb(1056, 512) == 352
+    assert _pick_bb(520, 512) == 104
+    assert _pick_bb(1024, 1024) == 1024
+    # interpret-mode sub-8 batches fall back to halving
+    assert _pick_bb(2, 256) == 2
