@@ -195,14 +195,22 @@ def _chain_exec(dck, vals, swaps, comps, plan, amode, mmode):
         kind, i = ref
         return vals[i] if kind == "opnd" else outs[i]
 
-    for k, (op, w, ow, lhs, rhs) in enumerate(plan):
+    for k, (op, wl, wr, ow, lhs, rhs) in enumerate(plan):
+        if op == OP_MUL and mmode == "csa":
+            # width-asymmetric multiply: each side at its true width,
+            # rounds over the narrower operand
+            x = _take_width(val_of(lhs), wl, n)
+            bv = _take_width(val_of(rhs), wr, n)
+            if wr > wl:
+                x, bv = bv, x
+            cur = fz.schoolbook_mul_csa(x, bv, dck)
+            outs.append(cur)
+            continue
+        w = max(wl, wr)
         x = _take_width(val_of(lhs), w, n)
         bv = _take_width(val_of(rhs), w, n)
         if op == OP_MUL:
-            if mmode == "csa":
-                cur = fz.schoolbook_mul_csa(x, bv, dck)
-            else:
-                cur = fz.schoolbook_mul_fused(x, bv, dck)
+            cur = fz.schoolbook_mul_fused(x, bv, dck)
         else:
             sw = swaps[k][:, None, None]
             cm = comps[k][:, None, None]
@@ -308,6 +316,7 @@ class CloudEvaluator:
 
         batch = a.batch
         n = self.dck.params.n
+        wa, wb = int(bit1.max()), int(bit2.max())
         av = _take_width(a.value, width, n)
         bv = _take_width(b.value, width, n)
 
@@ -318,13 +327,24 @@ class CloudEvaluator:
 
                 mode = fz.mul_mode()
                 if mode == "csa":
-                    result = fz.schoolbook_mul_csa(av, bv, self.dck)
+                    # width-asymmetric: each operand at its true nbit
+                    # width (rounds scan the narrower one) — the
+                    # reference's own cleartext width dispatch
+                    xv = _take_width(a.value, wa, n)
+                    yv = _take_width(b.value, wb, n)
+                    if wb > wa:
+                        xv, yv = yv, xv
+                    result = fz.schoolbook_mul_csa(xv, yv, self.dck)
+                    self.gate_count += fz._csa_bootstraps_xy(
+                        max(wa, wb), min(wa, wb),
+                        fz.ADDER_BOOTSTRAPS_PER_BIT[fz.adder_mode()],
+                    ) * batch
                 else:
                     result = fz.schoolbook_mul_fused(av, bv, self.dck)
-                pb = fz.ADDER_BOOTSTRAPS_PER_BIT[fz.adder_mode()]
-                self.gate_count += (
-                    fz.MUL_BOOTSTRAPS[mode](width, pb) * batch
-                )
+                    pb = fz.ADDER_BOOTSTRAPS_PER_BIT[fz.adder_mode()]
+                    self.gate_count += (
+                        fz.MUL_BOOTSTRAPS[mode](width, pb) * batch
+                    )
             else:
                 result = arith.schoolbook_mul(av, bv, self.dck, out_width)
                 # W rounds x (W ANDs + one 2W-bit add at 5 gates/bit)
@@ -444,21 +464,26 @@ class CloudEvaluator:
             n2 = _normalized_neg(code_of(rhs))
             combined = n1 + 2 * n2
             answer_codes = np.array([0, 1, 2, 4])[combined]
-            w = max(w_of(lhs), w_of(rhs))
+            wl, wr = w_of(lhs), w_of(rhs)
+            w = max(wl, wr)
             ow = w
             if op == OP_MUL:
                 if w >= 256:
                     raise MulWidthError("Cannot multiply 256 bit number!")
                 ow = 2 * w
-                self.gate_count += (
-                    fz.MUL_BOOTSTRAPS[fz.mul_mode()](w, pb) * batch
-                )
+                if fz.mul_mode() == "csa":
+                    self.gate_count += fz._csa_bootstraps_xy(
+                        w, min(wl, wr), pb) * batch
+                else:
+                    self.gate_count += (
+                        fz.MUL_BOOTSTRAPS[fz.mul_mode()](w, pb) * batch
+                    )
             elif op in (OP_ADD, OP_SUB):
                 self.gate_count += pb * w * batch
             else:
                 raise ValueError(f"bad op {op}")
             swap, comp = _sign_plan(op, combined)
-            plan.append((op, w, ow, lhs, rhs))
+            plan.append((op, wl, wr, ow, lhs, rhs))
             swaps.append(jnp.asarray(swap))
             comps.append(jnp.asarray(comp))
             step_codes.append(answer_codes)
@@ -472,8 +497,8 @@ class CloudEvaluator:
         )
         final_op = steps[-1][0]
         return self._finish_answer(
-            final_op, plan[-1][1], step_w[-1], answer_codes, combined,
-            result, operands[0].carry_word,
+            final_op, max(plan[-1][1], plan[-1][2]), step_w[-1],
+            answer_codes, combined, result, operands[0].carry_word,
         )
 
 

@@ -292,10 +292,22 @@ def schoolbook_mul_csa(x, y, key: DeviceCloudKey):
     return jnp.concatenate([low, hi], axis=1)
 
 
-#: bootstraps per W x W multiply lane, by mode (evaluator accounting);
-#: pb = adder bootstraps/bit
+def _csa_bootstraps_xy(wx: int, wy: int, pb: int) -> int:
+    """Windowed-CSA bootstraps for an ASYMMETRIC Wx x Wy -> Wx+Wy
+    multiply: Wy rounds x (Wx ANDs + 2*(Wx+1) compress) + a Wx-bit
+    final carry-propagate.  The kernel itself is width-asymmetric
+    (rounds scan y's bits; the window is sized by x), so a 32x16
+    product costs ~half a 32x32 one — the evaluator passes each
+    operand's TRUE nbit width (cleartext metadata, exactly the
+    reference's own width dispatch, `cloud.c:832-864`)."""
+    return wx * wy + 2 * wy * (wx + 1) + pb * wx
+
+
+#: bootstraps per multiply lane, by mode (evaluator accounting);
+#: pb = adder bootstraps/bit.  Symmetric W x W form; csa's asymmetric
+#: form is :func:`_csa_bootstraps_xy`.
 MUL_BOOTSTRAPS = {
-    "csa": lambda w, pb: w * w + 2 * w * (w + 1) + pb * w,
+    "csa": lambda w, pb: _csa_bootstraps_xy(w, w, pb),
     "shift": lambda w, pb: (1 + 2 * pb) * w * w,
 }
 

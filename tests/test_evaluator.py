@@ -307,3 +307,31 @@ def test_answer_chains_as_operand():
     abc, _ = cloud.compute(ev.OP_ADD, ab, c)
     got = ev.decrypt_answer(pair.main, pair.nbit, abc, ev.OP_ADD)
     assert got == [3 + 5 + 7, 4 + 6 + 8]
+
+
+def test_mul_mul_chain_asymmetric_widths():
+    """A*B*C via compute_steps: the second multiply is (2W)x(W) — the
+    r4 asymmetric windowed-CSA path (rounds over the narrower operand)
+    must decrypt exactly and account fewer gates than symmetric."""
+    from ieache_tpu.circuits import fused as fz
+
+    pair, cloud = _setup()
+    s = prng.key_from_seed_words([0x77])
+    a = ev.encrypt_operand(pair.main, pair.nbit, [5, 7], 4,
+                           prng.derive(s, 0))
+    b = ev.encrypt_operand(pair.main, pair.nbit, [6, 3], 4,
+                           prng.derive(s, 1))
+    c = ev.encrypt_operand(pair.main, pair.nbit, [10, 2], 4,
+                           prng.derive(s, 2))
+    g0 = cloud.gate_count
+    ans, info = cloud.compute_steps(
+        [(ev.OP_MUL, ("opnd", 0), ("opnd", 1)),
+         (ev.OP_MUL, ("step", 0), ("opnd", 2))],
+        [a, b, c],
+    )
+    got = ev.decrypt_answer(pair.main, pair.nbit, ans, ev.OP_MUL)
+    assert got == [300, 42]
+    pb = fz.ADDER_BOOTSTRAPS_PER_BIT[fz.adder_mode()]
+    want_gates = (fz._csa_bootstraps_xy(4, 4, pb)
+                  + fz._csa_bootstraps_xy(8, 4, pb)) * 2
+    assert cloud.gate_count - g0 == want_gates
