@@ -357,6 +357,38 @@ def blind_rotate(
                     stacklevel=2,
                 )
                 step_mode = "split"
+        if step_mode == "tr" and acc0.shape[0] % 128:
+            import warnings
+
+            warnings.warn(
+                f"IEACHE_PALLAS_STEP=tr needs batch % 128 == 0 (got "
+                f"{acc0.shape[0]}); falling back to 'split'",
+                stacklevel=2,
+            )
+            step_mode = "split"
+        if step_mode == "tr":
+            # fully-transposed (k+1, N, B) pipeline: batch on the lane
+            # axis so every ext-product dot is B-wide (the >=2048-lane
+            # geometry Mosaic runs at ~200+ TOPS) and the rotation
+            # rolls sublanes (measured 32% cheaper per lane) —
+            # artifacts/EXT_FLOOR_r04.json
+            from ieache_tpu.ops.pallas_kernels import (
+                external_product_pallas_tr,
+                rot_diff_decompose_pallas_tr,
+            )
+
+            def step_t2(acc_t2, xs):
+                bk_i, bara_i = xs
+                d_t2 = rot_diff_decompose_pallas_tr(acc_t2, bara_i,
+                                                    params)
+                return external_product_pallas_tr(
+                    d_t2, bk_i, params, acc_t2
+                ), None
+
+            acc_t20 = jnp.transpose(acc0, (1, 2, 0))
+            acc_t2, _ = jax.lax.scan(step_t2, acc_t20, (bk, bara.T))
+            out = jnp.transpose(acc_t2, (2, 0, 1))
+            return out[:b] if pad else out
         if step_mode in ("overlap", "overlap2"):
             from ieache_tpu.ops.pallas_kernels import (
                 cmux_step_overlap2_pallas,

@@ -794,3 +794,233 @@ def rot_diff_decompose_pallas(
         interpret=interpret,
     )(acc_t, bara_i[:, None])
     return out
+
+
+def _ext_product_tr_kernel(d_ref, bkrev_ref, acc_ref, out_ref,
+                           tscratch, pscratch, *, n: int, jb: int,
+                           chunk: int, fold: int):
+    """Transposed-layout external-product tile: out[o, jb-block, lanes]
+    += Toeplitz^T(bk[p, o])[jb-block] @ digits[p].
+
+    Layouts: digits dT (rows, N, B) int8, acc/out (k+1, N, B) int32 —
+    batch occupies the LANE axis, so with B >= 2048 every dot has a
+    2048-wide output, the geometry Mosaic sustains ~200+ TOPS at
+    (vs ~160-196 for the shipped layout's 1024-wide dots,
+    artifacts/EXT_FLOOR_r04.json).
+
+    The Toeplitz transpose T^T[j, m] = e[N + j - m] is built with the
+    SAME doubling-roll scheme as the forward kernel via the reversed
+    extended polynomial: with base[t] = rev_e[(N - j0 - jb) + t] the
+    doubled rows satisfy roll(base, r)[jb + m] = T^T[j0 + r, m], so
+    chunk c's tile is the aligned sliding column window
+    [jb + c*chunk, jb + (c+1)*chunk).  ``bkrev_ref`` is the host-side
+    pre-tiled (rows, k+1, N/jb, N+jb) reversed/biased/XOR'd BK step.
+
+    Grid (k+1, N/jb, B/bb, rows), rows minor (out accumulates over p).
+    """
+    p = pl.program_id(3)
+
+    @pl.when(p == 0)
+    def _():
+        out_ref[...] = acc_ref[...]
+
+    base = bkrev_ref[0]                          # (1, N+jb) int32
+    d = d_ref[0]                                 # (N, bb) int8
+
+    tscratch[0:1, :] = base
+    size = 1
+    while size < jb:
+        tscratch[size:2 * size, :] = pltpu.roll(
+            tscratch[0:size, :], size, axis=1
+        )
+        size *= 2
+
+    xs = tscratch[:, :]
+    for v in range(TORUS_LIMBS):
+        sx = (xs << (24 - 8 * v)) >> 24          # sign-extended byte_v
+        pscratch[v] = sx.astype(jnp.int8)
+
+    for c in range(n // chunk):
+        lo = jb + c * chunk
+        dslice = d[c * chunk:(c + 1) * chunk, :]  # (chunk, bb) int8
+        parts = []
+        for v in range(TORUS_LIMBS):
+            tile = pscratch[v, :, lo:lo + chunk]  # (jb, chunk) int8
+            part = jax.lax.dot_general(
+                tile, dslice,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            parts.append(part << (8 * v) if v else part)
+            if len(parts) == fold:
+                acc = parts[0]
+                if len(parts) == 4:
+                    acc = (parts[0] + parts[1]) + (parts[2] + parts[3])
+                else:
+                    for pt in parts[1:]:
+                        acc = acc + pt
+                out_ref[0] += acc
+                parts = []
+
+
+def _bk_rev_tiles(bk_i: jnp.ndarray, n: int, jb: int) -> jnp.ndarray:
+    """(rows, k+1, N) int32 BK step -> pre-tiled reversed operand
+    (rows, k+1, N/jb, N+jb) for :func:`_ext_product_tr_kernel`.
+
+    With rev_e = reverse((concat(-g, g) + BIAS) ^ BIAS), tile jbi's
+    element t is rev_e[(N - 1 - (jbi+1)*jb) + t]; a single zero is
+    front-padded so the last block's (never-consumed) t=0 element
+    stays in range, and ``roll(tile, jj)[jb + m] = T^T[j0 + jj, m]``.
+    """
+    g = bk_i
+    e = jnp.concatenate([-g, g], axis=-1) + jnp.int32(_LIMB_BIAS)
+    e = e ^ jnp.int32(_LIMB_BIAS)
+    rev = jnp.flip(e, axis=-1)                   # (rows, kp1, 2N)
+    pad = jnp.zeros(rev.shape[:-1] + (1,), rev.dtype)
+    rev = jnp.concatenate([pad, rev], axis=-1)   # (rows, kp1, 2N+1)
+    tiles = [
+        jax.lax.slice_in_dim(rev, n - (jbi + 1) * jb,
+                             2 * n - jbi * jb, axis=-1)
+        for jbi in range(n // jb)
+    ]
+    return jnp.stack(tiles, axis=2)              # (rows, kp1, N/jb, N+jb)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "interpret")
+)
+def external_product_pallas_tr(
+    d_t2: jnp.ndarray, bk_i: jnp.ndarray, params: TFHEParams,
+    acc_t2: jnp.ndarray, interpret: bool = False,
+) -> jnp.ndarray:
+    """Fully-transposed external product: d_t2 (rows, N, B) int8 x
+    bk_i (rows, k+1, N) int32 + acc_t2 (k+1, N, B) -> new acc
+    (k+1, N, B) int32, exact mod 2^32.  The B >= 2048 throughput
+    layout (see _ext_product_tr_kernel); bit-identical to the shipped
+    path modulo the (B <-> N) transpose (tests/test_pallas_kernels)."""
+    if params.digit_limbs != 1:
+        raise ValueError("pallas path requires single-limb digits")
+    import os
+
+    n, b = params.N, d_t2.shape[2]
+    rows, kp1 = params.trgsw_rows, params.k + 1
+    # jb=256 + chunk=512 measured best on hardware (0.937 vs 1.011
+    # ms/step at jb=128/chunk=256, B=4096; artifacts/r4/sb_tr_*.log)
+    jb = min(int(os.environ.get("IEACHE_TR_JB", 256)), n)
+    chunk = min(int(os.environ.get("IEACHE_EXT_CHUNK", 512)), n)
+    fold = int(os.environ.get("IEACHE_EXT_FOLD", 1))
+    bb = b
+    while bb > 2048 or (b % bb):
+        bb //= 2
+    if b % 128:
+        raise ValueError(f"transposed path needs B % 128 == 0, got {b}")
+
+    njb = n // jb
+    # flat (rows*kp1*njb, 1, N+jb): a 4-D window with two size-1 minor
+    # blocks violates Mosaic's (8, 128)-divisible block rule
+    bkrev = _bk_rev_tiles(bk_i, n, jb).reshape(
+        rows * kp1 * njb, 1, n + jb
+    )
+    return pl.pallas_call(
+        functools.partial(_ext_product_tr_kernel, n=n, jb=jb,
+                          chunk=chunk, fold=fold),
+        grid=(kp1, njb, b // bb, rows),
+        in_specs=[
+            pl.BlockSpec((1, n, bb), lambda o, j, bi, p: (p, 0, bi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n + jb),
+                         lambda o, j, bi, p:
+                         (p * kp1 * njb + o * njb + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, jb, bb), lambda o, j, bi, p: (o, j, bi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, jb, bb), lambda o, j, bi, p: (o, j, bi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kp1, n, b), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((jb, n + jb), jnp.int32),
+            pltpu.VMEM((TORUS_LIMBS, jb, n + jb), jnp.int8),
+        ],
+        interpret=interpret,
+    )(d_t2, bkrev, acc_t2)
+
+
+def _rot_diff_decompose_tr_kernel(acc_ref, bara_ref, out_ref, *,
+                                  n: int, log2_2n: int, bg_bit: int,
+                                  l: int, offset: int, kp1: int):
+    """Transposed rotation + diff + gadget decompose: acc (kp1, N, bb)
+    int32 with per-LANE amounts (1, bb) -> digits (rows, N, bb) int8.
+
+    Same barrel shifter as :func:`_rot_diff_decompose_kernel` with the
+    rolls on the SUBLANE axis — measured 32% faster per lane than the
+    lane-roll layout and bit-exact (tools/transposed_probe.py,
+    artifacts/EXT_FLOOR_r04.json)."""
+    x0 = acc_ref[...]
+    amt = bara_ref[...]                            # (1, bb)
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+
+    x = x0
+    shift = 1
+    for t in range(log2_2n):
+        bit = ((amt >> t) & 1)[None, :, :]         # (1, 1, bb)
+        if shift < n:
+            rolled = pltpu.roll(x, shift, axis=1)
+            rolled = jnp.where(j < shift, -rolled, rolled)
+        else:                                      # X^N == -1
+            rolled = -x
+        x = jnp.where(bit != 0, rolled, x)
+        shift *= 2
+
+    v = (x - x0) + jnp.int32(offset)               # wrapping int32
+    half = 1 << (bg_bit - 1)
+    mask = (1 << bg_bit) - 1
+    for u in range(kp1):
+        vu = v[u]
+        for jl in range(l):
+            sh = 32 - (jl + 1) * bg_bit
+            d = ((vu >> sh) & mask) - half
+            out_ref[u * l + jl] = d.astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "interpret")
+)
+def rot_diff_decompose_pallas_tr(
+    acc_t2: jnp.ndarray, bara_i: jnp.ndarray, params: TFHEParams,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """acc_t2 (k+1, N, B) int32, bara_i (B,) int32 -> digits of
+    (X^bara·acc - acc) in the transposed layout: (rows, N, B) int8."""
+    if params.digit_limbs != 1:
+        raise ValueError("pallas path requires single-limb digits")
+    from ieache_tpu.ops.decompose import _offset
+
+    kp1, n, b = acc_t2.shape
+    rows = params.trgsw_rows
+
+    off = _offset(params.bg_bit, params.l)
+    if off >= 2**31:
+        off -= 2**32
+
+    # bb=512 blocks AOT-OOM at 19.9M scoped vmem (the (kp1, N, bb)
+    # int32 window doubles through the barrel stages); 256 fits
+    bb = _pick_bb(b, 256)
+    return pl.pallas_call(
+        functools.partial(
+            _rot_diff_decompose_tr_kernel, n=n,
+            log2_2n=params.log2_2N, bg_bit=params.bg_bit, l=params.l,
+            offset=off, kp1=kp1,
+        ),
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec((kp1, n, bb), lambda bi: (0, 0, bi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bb), lambda bi: (0, bi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, n, bb), lambda bi: (0, 0, bi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, n, b), jnp.int8),
+        interpret=interpret,
+    )(acc_t2, bara_i[None, :])

@@ -309,3 +309,75 @@ def test_pick_bb_legal_blocks():
     assert _pick_bb(1024, 1024) == 1024
     # interpret-mode sub-8 batches fall back to halving
     assert _pick_bb(2, 256) == 2
+
+
+def test_pallas_transposed_external_product_matches():
+    """The (k+1, N, B)-layout external product (the B>=2048 throughput
+    geometry) is bit-identical to the shipped path modulo transpose."""
+    import jax.numpy as jnp2
+
+    from ieache_tpu.ops.pallas_kernels import (
+        external_product_pallas_t,
+        external_product_pallas_tr,
+    )
+
+    p = P.TEST_TINY
+    rng = np.random.RandomState(31)
+    b = 128
+    digits = rng.randint(-128, 128,
+                         (p.trgsw_rows, b, p.N)).astype(np.int8)
+    bk_i = rng.randint(-2**31, 2**31,
+                       (p.trgsw_rows, p.k + 1, p.N)).astype(np.int32)
+    acc_t = rng.randint(-2**31, 2**31,
+                        (p.k + 1, b, p.N)).astype(np.int32)
+
+    want = np.asarray(external_product_pallas_t(
+        jnp.asarray(digits), jnp.asarray(bk_i), p,
+        acc_t=jnp.asarray(acc_t), interpret=True,
+    ))                                           # (kp1, B, N)
+
+    d_t2 = jnp.asarray(np.transpose(digits, (0, 2, 1)))  # (rows, N, B)
+    acc_t2 = jnp.asarray(np.transpose(acc_t, (0, 2, 1)))
+    got = np.asarray(external_product_pallas_tr(
+        d_t2, jnp.asarray(bk_i), p, acc_t2, interpret=True,
+    ))                                           # (kp1, N, B)
+    np.testing.assert_array_equal(
+        np.transpose(got, (0, 2, 1)), want
+    )
+
+
+def test_pallas_transposed_full_step_matches():
+    """Transposed rot+decompose -> transposed ext product == the
+    shipped split pipeline (the whole tr scan body), bit-exact."""
+    from ieache_tpu.ops.pallas_kernels import (
+        external_product_pallas_t,
+        external_product_pallas_tr,
+        rot_diff_decompose_pallas,
+        rot_diff_decompose_pallas_tr,
+    )
+
+    p = P.TEST_TINY
+    rng = np.random.RandomState(33)
+    b = 128
+    acc = rng.randint(-2**31, 2**31, (b, p.k + 1, p.N)).astype(np.int32)
+    bara = rng.randint(0, 2 * p.N, (b,)).astype(np.int32)
+    bk_i = rng.randint(-2**31, 2**31,
+                       (p.trgsw_rows, p.k + 1, p.N)).astype(np.int32)
+
+    acc_t = jnp.asarray(np.transpose(acc, (1, 0, 2)))   # (kp1, B, N)
+    d_t = rot_diff_decompose_pallas(acc_t, jnp.asarray(bara), p,
+                                    interpret=True)
+    want = np.asarray(external_product_pallas_t(
+        d_t, jnp.asarray(bk_i), p, acc_t=acc_t, interpret=True,
+    ))
+
+    acc_t2 = jnp.asarray(np.transpose(acc, (1, 2, 0)))  # (kp1, N, B)
+    d_t2 = rot_diff_decompose_pallas_tr(acc_t2, jnp.asarray(bara), p,
+                                        interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(d_t2), np.transpose(np.asarray(d_t), (0, 2, 1))
+    )
+    got = np.asarray(external_product_pallas_tr(
+        d_t2, jnp.asarray(bk_i), p, acc_t2, interpret=True,
+    ))
+    np.testing.assert_array_equal(np.transpose(got, (0, 2, 1)), want)

@@ -47,15 +47,22 @@ def main():
 
     rows, kp1, n = p.trgsw_rows, p.k + 1, p.N
     rng = np.random.RandomState(7)
-    acc_t = jnp.asarray(
-        rng.randint(-2**31, 2**31, (kp1, b, n)).astype(np.int32))
+    acc_bn = rng.randint(-2**31, 2**31, (kp1, b, n)).astype(np.int32)
+    acc_t = jnp.asarray(acc_bn)
+    acc_t2 = jnp.asarray(np.transpose(acc_bn, (0, 2, 1)))
     bara = jnp.asarray(
         rng.randint(0, 2 * n, (steps, b)).astype(np.int32))
     bks = jnp.asarray(
         rng.randint(-2**31, 2**31, (steps, rows, kp1, n)).astype(np.int32))
 
     def body(mode):
-        if mode in ("overlap", "overlap2"):
+        if mode == "tr":
+            def step(acc, xs):
+                bk_i, bara_i = xs
+                d_t2 = pk.rot_diff_decompose_pallas_tr(acc, bara_i, p)
+                return pk.external_product_pallas_tr(
+                    d_t2, bk_i, p, acc), None
+        elif mode in ("overlap", "overlap2"):
             kern = (pk.cmux_step_overlap2_pallas if mode == "overlap2"
                     else pk.cmux_step_overlap_pallas)
 
@@ -89,15 +96,16 @@ def main():
     for mode in modes:
         mode = mode.strip()
         f = body(mode)
+        a0 = acc_t2 if mode == "tr" else acc_t
         print(f"# {mode}: compiling...", flush=True)
         t0 = time.time()
-        out = np.asarray(f(acc_t, bks, bara))   # materialize = fence
+        out = np.asarray(f(a0, bks, bara))   # materialize = fence
         t_compile = time.time() - t0
         print(f"# {mode}: compile+first run {t_compile:.1f}s; timing...",
               flush=True)
         t0 = time.time()
         for _ in range(iters):
-            out = f(acc_t, bks, bara)
+            out = f(a0, bks, bara)
         out = np.asarray(out)
         dt = (time.time() - t0) / iters / steps
         results[mode] = dt
