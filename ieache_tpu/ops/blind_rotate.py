@@ -278,6 +278,54 @@ def blind_rotate_sharded(
     return acc
 
 
+def _blind_rotate_ntt(
+    acc0: jnp.ndarray, bara: jnp.ndarray, bk: jnp.ndarray,
+    params: TFHEParams,
+) -> jnp.ndarray:
+    """Blind rotation with the CRT-NTT external product
+    (core/ntt.py) — the O(N log N)-per-lane small-batch path
+    (IEACHE_PALLAS_STEP=ntt).
+
+    The BK spectra are computed once per call and fed through the scan
+    (500 x (P=2, limbs=4, rows, k+1, N) uint32 ~ 131 MB at lambda=110
+    — amortized over the whole wave); each step forward-transforms
+    only the digits, sums the rows-contraction in the spectral domain,
+    and CRT-recombines four byte-limb convolutions exactly mod 2^32.
+    Range: |sum over rows*N of d*s_v| <= rows * N * 128 * 128 — within
+    the two-prime CRT range for rows <= 6 (both shipped gadgets).
+    Bit-identical to the Toeplitz paths (tests/test_ntt.py)."""
+    from ieache_tpu.core import ntt
+
+    n = params.N
+    bkhat = ntt.ntt_forward_torus_limbs(bk, n)   # (P, 4, steps, r, kp1, N)
+    bkhat = jnp.moveaxis(bkhat, 2, 0)            # (steps, P, 4, r, kp1, N)
+    nprimes = len(ntt.PRIMES)
+
+    def step(acc, xs):
+        bkhat_i, bara_i = xs
+        digits = _step_digits(acc, bara_i, params)   # (B, rows, N)
+        dh = ntt.ntt_forward_digits(digits, n)       # (P, B, rows, N)
+        out = jnp.zeros_like(acc)
+        for v in range(4):
+            res = []
+            for pi in range(nprimes):
+                prod = ntt.ntt_pointwise(
+                    dh[pi][:, :, None, :],
+                    bkhat_i[pi, v][None, :, :, :], pi, n,
+                )                                    # (B, rows, kp1, N)
+                acc_p = prod[:, 0]
+                for r in range(1, prod.shape[1]):
+                    acc_p = ntt._add_mod(acc_p, prod[:, r],
+                                         ntt.PRIMES[pi])
+                res.append(ntt.ntt_inverse(acc_p, pi, n))
+            out = out + (ntt.crt_to_int32(res[0], res[1], n=n)
+                         << (8 * v))
+        return acc + out, None
+
+    acc, _ = jax.lax.scan(step, acc0, (bkhat, bara.T))
+    return acc
+
+
 def blind_rotate(
     acc0: jnp.ndarray, bara: jnp.ndarray, bk: jnp.ndarray,
     params: TFHEParams,
@@ -294,6 +342,12 @@ def blind_rotate(
     between (the XLA barrel shifter costs ~11 HBM round trips per step
     otherwise), transposing only once at entry/exit.
     """
+    import os as _os
+
+    if (_os.environ.get("IEACHE_PALLAS_STEP") == "ntt"
+            and params.digit_limbs == 1):
+        return _blind_rotate_ntt(acc0, bara, bk, params)
+
     if _use_pallas(params):
         from ieache_tpu.ops.pallas_kernels import (
             external_product_pallas_t,
