@@ -247,7 +247,7 @@ def schoolbook_mul_csa(x, y, key: DeviceCloudKey):
     shift-matrix einsum.  One W-bit carry-propagate add at the end
     resolves the remaining window.
 
-    Totals: W² AND + 2·W·(W+1) compress + 2·pb·W final-add bootstraps
+    Totals: W² AND + 2·W·(W+1) compress + pb·W final-add bootstraps
     (vs W² + 4W² + 2·pb·2W for the r3 full-width variant — ~40% fewer)
     and the live scan state drops from 2·(B, 2W, n+1) to
     2·(B, W+1, n+1) (~2x), which is what bounds the A*B*C chain's

@@ -297,6 +297,17 @@ def _blind_rotate_ntt(
     from ieache_tpu.core import ntt
 
     n = params.N
+    # CRT dynamic-range guard (exactness invariant): every byte-limb
+    # convolution must satisfy |sum over rows*N of d*s_v| < P/2 with
+    # P = 12289*18433.  |d| <= 2^(bg_bit-1), |s_v| <= 128.
+    bound = params.trgsw_rows * n * (1 << (params.bg_bit - 1)) * 128
+    if bound >= (ntt.PRIMES[0] * ntt.PRIMES[1]) // 2:
+        raise ValueError(
+            f"CRT-NTT range exceeded: rows*N*2^(bg_bit-1)*128 = {bound}"
+            f" >= P/2 = {(ntt.PRIMES[0] * ntt.PRIMES[1]) // 2}; the"
+            " two-prime byte-limb path needs rows <= 6 at N=1024,"
+            " bg_bit=8 — use the Toeplitz path for wider gadgets"
+        )
     bkhat = ntt.ntt_forward_torus_limbs(bk, n)   # (P, 4, steps, r, kp1, N)
     bkhat = jnp.moveaxis(bkhat, 2, 0)            # (steps, P, 4, r, kp1, N)
     nprimes = len(ntt.PRIMES)
@@ -344,9 +355,19 @@ def blind_rotate(
     """
     import os as _os
 
-    if (_os.environ.get("IEACHE_PALLAS_STEP") == "ntt"
-            and params.digit_limbs == 1):
-        return _blind_rotate_ntt(acc0, bara, bk, params)
+    if _os.environ.get("IEACHE_PALLAS_STEP") == "ntt":
+        if params.digit_limbs == 1:
+            return _blind_rotate_ntt(acc0, bara, bk, params)
+        # an EXPLICIT ntt request that cannot be honored must not
+        # silently measure the default path (ADVICE r4, matching the
+        # tr/overlap warn-on-downgrade rule)
+        import warnings
+
+        warnings.warn(
+            f"IEACHE_PALLAS_STEP=ntt needs digit_limbs == 1 (got "
+            f"{params.digit_limbs}); falling back to the default path",
+            stacklevel=2,
+        )
 
     if _use_pallas(params):
         from ieache_tpu.ops.pallas_kernels import (

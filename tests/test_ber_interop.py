@@ -146,7 +146,8 @@ def test_second_source_encoder_agrees_on_all_types():
     import ber2
 
     for name, sch in schema.ALL.items():
-        for variant in range(6):
+        for variant in range(11):  # cover every ints entry, incl. the
+            # negative / 32-bit-boundary INTEGER encodings (ADVICE r4)
             values = _sample_values(sch, variant)
             ours = ber.encode_message(sch, values)
             theirs = ber2.encode(sch, values)
