@@ -35,10 +35,22 @@ class NetworkConfig:
         Endpoint("192.168.0.23"),
     )
     password: str = "abc1238"
-    #: BER DataContent payload chunk (dragonfly_cipher_client.py:86)
-    chunk_size: int = 1024
-    #: DataKey chunk (dragonfly_private_keygen.py:658-672)
-    key_chunk_size: int = 8192
+    #: BER DataContent payload chunk.  The reference streams 1024-byte
+    #: chunks (dragonfly_cipher_client.py:86) — a buffer-size choice,
+    #: not a schema constraint (DataContent is an arbitrary-length
+    #: OCTET STRING).  At lambda=110 ciphertext sizes (tens of MB per
+    #: operand) 1 KiB stop-and-wait costs ~30k Python-framed ack
+    #: round-trips per pull; 256 KiB keeps the ack/rewind protocol and
+    #: the wire schema while making framing negligible.  Reference-
+    #: sized chunks stay pinned by tests/test_transport.py.
+    chunk_size: int = 256 * 1024
+    #: DataKey chunk.  Reference value: 8192
+    #: (dragonfly_private_keygen.py:658-672); at 33 MB key blobs the
+    #: 4000 ack round-trips per peer (~0.6 s of GIL-bound framing)
+    #: were what serialized the threaded key fan-out (r5 keyplane
+    #: profile) — 1 MiB leaves AES/md5 (GIL-releasing) as the only
+    #: per-peer cost, so concurrent exchanges actually overlap.
+    key_chunk_size: int = 1024 * 1024
     connect_retry_s: float = 0.2
     connect_retries: int = 50
 

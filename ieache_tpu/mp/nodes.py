@@ -72,7 +72,7 @@ def _listener(handler, host="127.0.0.1", port=0):
 
 
 def _send_keypair(sock, pmk, key_blob: bytes, nbit_blob: bytes,
-                  chunk: int = 8192):
+                  chunk: int = 8192, digest: str | None = None):
     """AES-wrap and stream both blobs as paired DataKey chunks
     (`dragonfly_private_keygen.py:644-682`), then cross-check the
     plaintext digests with the receiver (the reference prints md5sums
@@ -104,8 +104,11 @@ def _send_keypair(sock, pmk, key_blob: bytes, nbit_blob: bytes,
         )
         if not transport.recv_ack(sock):
             raise ConnectionError("key chunk rejected")
-    digest = (hashlib.md5(key_blob).hexdigest() + ","
-              + hashlib.md5(nbit_blob).hexdigest())
+    if digest is None:  # plaintext digests are constant across peers —
+        # KeygenNode precomputes them once (md5 of 66 MB per peer was
+        # ~25% of the fan-out's CPU, r5 keyplane profile)
+        digest = (hashlib.md5(key_blob).hexdigest() + ","
+                  + hashlib.md5(nbit_blob).hexdigest())
     transport.send_msg(sock, schema.DataMd5, {"data": digest})
     if not transport.recv_ack(sock):
         raise ConnectionError("key transfer digest mismatch")
@@ -179,6 +182,14 @@ class KeygenNode:
             {"bk": self.pair.main.cloud.bk, "ks": self.pair.main.cloud.ks},
             kind="cloud_keyset",
         )
+        self._secret_digest = (
+            hashlib.md5(self._secret_blob).hexdigest() + ","
+            + hashlib.md5(self._nbit_blob).hexdigest()
+        )
+        self._cloud_digest = (
+            hashlib.md5(self._cloud_blob).hexdigest() + ","
+            + hashlib.md5(self._nbit_blob).hexdigest()
+        )
         self.served = []
         self.refused = []
 
@@ -251,7 +262,8 @@ class KeygenNode:
                 if role == "output":
                     _send_keypair(conn, pmk, self._secret_blob,
                                   self._nbit_blob,
-                                  chunk=self.cfg.key_chunk_size)
+                                  chunk=self.cfg.key_chunk_size,
+                                  digest=self._secret_digest)
                     self.served.append(role)
                     self._output_served.set()
                 elif role == cloud_role:
@@ -264,7 +276,8 @@ class KeygenNode:
                             "cloud admission before output/clients")
                     _send_keypair(conn, pmk, self._cloud_blob,
                                   self._nbit_blob,
-                                  chunk=self.cfg.key_chunk_size)
+                                  chunk=self.cfg.key_chunk_size,
+                                  digest=self._cloud_digest)
                     self.served.append(role)
                 elif (self._allow_ready.wait(admit_timeout)
                       and role in self._allow):
@@ -273,7 +286,8 @@ class KeygenNode:
                             "client admission before output")
                     _send_keypair(conn, pmk, self._secret_blob,
                                   self._nbit_blob,
-                                  chunk=self.cfg.key_chunk_size)
+                                  chunk=self.cfg.key_chunk_size,
+                                  digest=self._secret_digest)
                     self.served.append(role)
                     _record_client(role)
                 else:

@@ -29,9 +29,12 @@ def get_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
-        os.path.join(_DIR, "src", "oracle.cc")
-    ):
+    newest_src = max(
+        os.path.getmtime(os.path.join(_DIR, "src", f))
+        for f in os.listdir(os.path.join(_DIR, "src"))
+        if f.endswith(".cc")
+    )
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < newest_src:
         _build()
     lib = ctypes.CDLL(_SO)
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
@@ -54,8 +57,36 @@ def get_lib():
     lib.tf_bootstrap.argtypes = [
         i32p, i32p, i32p, i32p, ctypes.c_int64, ctypes.c_int32, i32p,
     ]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.ec_mul.argtypes = [u8p, u8p, u8p, u8p, u8p]
+    lib.ec_mul.restype = ctypes.c_int
     _lib = lib
     return lib
+
+
+def ec_mul(scalar: int, x: int, y: int):
+    """Native brainpool scalar multiplication (releases the GIL).
+
+    Returns (x, y) ints, or None for the point at infinity."""
+    lib = get_lib()
+    buf = (ctypes.c_uint8 * 160)()
+    buf[0:32] = scalar.to_bytes(32, "big")
+    buf[32:64] = x.to_bytes(32, "big")
+    buf[64:96] = y.to_bytes(32, "big")
+    p = ctypes.cast(buf, ctypes.POINTER(ctypes.c_uint8))
+    rc = lib.ec_mul(
+        p,
+        ctypes.cast(ctypes.byref(buf, 32), ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.cast(ctypes.byref(buf, 64), ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.cast(ctypes.byref(buf, 96), ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.cast(ctypes.byref(buf, 128), ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc:
+        return None
+    return (
+        int.from_bytes(bytes(buf[96:128]), "big"),
+        int.from_bytes(bytes(buf[128:160]), "big"),
+    )
 
 
 def params_array(p: TFHEParams) -> np.ndarray:

@@ -333,3 +333,76 @@ def test_keygen_admission_order_output_first():
     assert set(order) == {"output", "client-1", "cloud"}
     assert order.index("cloud") > order.index("client-1")
     node.stop()
+
+
+def test_native_ec_matches_python():
+    """The C scalar multiplication (native/src/ec.cc) is bit-identical
+    to the pure-Python double-and-add across scalar edge cases (order
+    boundaries, p-1) and random scalars on real SAE-derived points."""
+    import random
+
+    nlib = pytest.importorskip("ieache_tpu.native.lib")
+    try:
+        nlib.get_lib()
+    except Exception:
+        pytest.skip("native toolchain unavailable")
+
+    c = dragonfly.Curve()
+    peer = dragonfly.Peer(mac_address="02:00:00:00:00:01")
+    pe = peer.initiate("02:00:00:00:00:02")
+
+    def py_mul(scalar, pt):
+        result = dragonfly.O
+        addend = pt
+        while scalar:
+            if scalar & 1:
+                result = c.add(result, addend)
+            addend = c.add(addend, addend)
+            scalar >>= 1
+        return result
+
+    rng = random.Random(7)
+    scalars = [1, 2, 3, dragonfly.Q - 1, dragonfly.Q, dragonfly.Q + 1,
+               dragonfly.P - 1] + [rng.randrange(1, dragonfly.P)
+                                   for _ in range(10)]
+    for pt in (pe, py_mul(12345, pe)):
+        for s in scalars:
+            got = nlib.ec_mul(s, pt.x, pt.y)
+            want = py_mul(s, pt)
+            if want is dragonfly.O:
+                assert got is None
+            else:
+                assert got == (want.x, want.y), s
+    assert nlib.ec_mul(0, pe.x, pe.y) is None
+
+
+def test_keypair_transfer_at_reference_chunk_size():
+    """The key fan-out still interoperates at the reference's 8192-byte
+    DataKey chunks (`dragonfly_private_keygen.py:658-672`) — the larger
+    production default (mp/config.py) is a buffer-size knob, not a
+    protocol change."""
+    import socket
+    import threading
+
+    from ieache_tpu.mp import nodes
+
+    pmk = b"\x07" * 32
+    blob_k = bytes(range(256)) * 300   # 76.8 kB -> ~10 chunks
+    blob_n = b"\xA5" * 10_000
+    a, b = socket.socketpair()
+    err = []
+
+    def sender():
+        try:
+            nodes._send_keypair(a, pmk, blob_k, blob_n, chunk=8192)
+        except Exception as e:  # pragma: no cover
+            err.append(e)
+
+    t = threading.Thread(target=sender)
+    t.start()
+    got_k, got_n = nodes._recv_keypair(b, pmk)
+    t.join(10)
+    assert not err
+    assert got_k == blob_k and got_n == blob_n
+    a.close()
+    b.close()

@@ -97,27 +97,59 @@ def main():
         output.receive_keys(kaddr)       # SAE + AES unwrap + md5 check
         phases["output_exchange_s"] = time.time() - t0
 
-        # threaded client fan-out — the reference's Fig.9 "optimized"
+        # concurrent client fan-out — the reference's Fig.9 "optimized"
         # mode serves clients concurrently (thread-per-connection,
-        # dragonfly_private_keygen.py:704-728); receive concurrently too
-        import threading
+        # dragonfly_private_keygen.py:704-728).  Default: one OS
+        # process per client (the deployment topology — every client
+        # is its own host/interpreter), exercising the keygen node's
+        # thread fan-out without the bench process's GIL coupling the
+        # *clients* to each other.  KB_PROC_CLIENTS=0 falls back to
+        # the r4 all-in-one-process thread mode.
+        clients = []
+        if os.environ.get("KB_PROC_CLIENTS", "1") == "1":
+            import multiprocessing as _mp
 
-        per_client = [None] * nc
-        clients = [ClientNode(i + 1, cfg=cfg) for i in range(nc)]
+            ctx = _mp.get_context("fork")
+            q = ctx.Queue()
+            barrier = ctx.Barrier(nc + 1)
 
-        def _one(i):
+            def _child(i):
+                c = ClientNode(i + 1, cfg=cfg)
+                barrier.wait()
+                t0 = time.time()
+                c.receive_keys(kaddr)
+                q.put((i, time.time() - t0))
+
+            procs = [ctx.Process(target=_child, args=(i,))
+                     for i in range(nc)]
+            for pr in procs:
+                pr.start()
+            barrier.wait()           # all children ready: start clock
             t0 = time.time()
-            clients[i].receive_keys(kaddr)
-            per_client[i] = time.time() - t0
+            got = [q.get(timeout=300) for _ in procs]
+            phases["clients_concurrent_wall_s"] = time.time() - t0
+            for pr in procs:
+                pr.join()
+            per_client = [t for _, t in sorted(got)]
+        else:
+            import threading
 
-        t0 = time.time()
-        threads = [threading.Thread(target=_one, args=(i,))
-                   for i in range(nc)]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        phases["clients_concurrent_wall_s"] = time.time() - t0
+            per_client = [None] * nc
+            clients = [ClientNode(i + 1, cfg=cfg) for i in range(nc)]
+
+            def _one(i):
+                t0 = time.time()
+                clients[i].receive_keys(kaddr)
+                per_client[i] = time.time() - t0
+
+            t0 = time.time()
+            threads = [threading.Thread(target=_one, args=(i,))
+                       for i in range(nc)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            phases["clients_concurrent_wall_s"] = time.time() - t0
         phases["client_exchange_s"] = per_client
 
         cloud = CloudNode(cfg=cfg)
@@ -175,7 +207,12 @@ def main():
         },
         "job_flow_tiny_total_s": round(t_flow, 3),
         "reference": REF,
-        "mode": "in-process (threads over loopback sockets)",
+        "mode": (
+            "keygen threads + one OS process per client over loopback"
+            if os.environ.get("KB_PROC_CLIENTS", "1") == "1"
+            else "in-process (threads over loopback sockets)"
+        ),
+        "host_cores": os.cpu_count(),
     }
 
     if os.environ.get("KB_SUBPROC") == "1":
