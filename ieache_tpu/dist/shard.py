@@ -81,12 +81,15 @@ def _keyswitch_sharded(lwe_ext, ks_local, params: TFHEParams, tp_axis: str):
     return out
 
 
-def make_sharded_bootstrap(mesh: Mesh, params: TFHEParams, mu: int = MU):
+def make_sharded_bootstrap(mesh: Mesh, params: TFHEParams, mu: int = MU,
+                           overlap_chunks: int = 2):
     """Build a jitted sharded bootstrap: (lwe, bk, ks_limbs) -> lwe_out.
 
     lwe is dp-sharded on the batch; bk's TRGSW-rows axis and
     ks_limbs' contraction axis are tp-sharded.  `tp` must divide
-    (k+1)*l and kN*ks_t.
+    (k+1)*l and kN*ks_t.  ``overlap_chunks`` batch-pipelines the
+    per-step tp psum against the next sub-chunk's matmuls (see
+    :func:`ieache_tpu.ops.blind_rotate.blind_rotate_sharded`).
     """
     tp = mesh.shape["tp"]
     if params.trgsw_rows % tp or (params.kN * params.ks_t) % tp:
@@ -100,7 +103,8 @@ def make_sharded_bootstrap(mesh: Mesh, params: TFHEParams, mu: int = MU):
         barb = mod_switch_2n(b, p)
         acc0 = jnp.zeros((lwe.shape[0], p.k + 1, p.N), jnp.int32)
         acc0 = acc0.at[:, p.k, :].set(_rotated_test_vector(barb, mu, p))
-        acc = blind_rotate_sharded(acc0, bara, bk_local, p, "tp")
+        acc = blind_rotate_sharded(acc0, bara, bk_local, p, "tp",
+                                   overlap_chunks=overlap_chunks)
         ext = sample_extract(acc, p)
         return _keyswitch_sharded(ext, ks_local, p, "tp")
 

@@ -263,16 +263,45 @@ def external_product_step_sharded(
 
 def blind_rotate_sharded(
     acc0: jnp.ndarray, bara: jnp.ndarray, bk_local: jnp.ndarray,
-    params: TFHEParams, tp_axis: str,
+    params: TFHEParams, tp_axis: str, overlap_chunks: int = 2,
 ) -> jnp.ndarray:
-    """Blind rotation with the BK rows axis sharded over `tp_axis`."""
-    def step(acc, xs):
-        bk_i, bara_i = xs
-        return (
-            external_product_step_sharded(acc, bara_i, bk_i, params,
-                                          tp_axis),
-            None,
-        )
+    """Blind rotation with the BK rows axis sharded over `tp_axis`.
+
+    ``overlap_chunks``: the tp psum sits on the CMux scan's serial
+    critical path (psum_i -> decompose_{i+1} -> dots_{i+1} -> ...;
+    it cannot be deferred across steps because gadget decomposition
+    is nonlinear).  Splitting the per-shard batch into C independent
+    sub-chunks breaks each step into C dependency chains, so chunk
+    c+1's matmuls have no dependence on chunk c's psum and XLA's
+    async collectives can run them concurrently (software pipelining
+    over the batch, VERDICT r4 directive #5).  Bit-exact for any C:
+    the math per lane is unchanged (tests/test_dist.py).  C=1
+    restores the unpipelined r4 schedule.
+    """
+    b = acc0.shape[0]
+    if overlap_chunks > 1 and b % overlap_chunks == 0 and \
+            b >= 2 * overlap_chunks:
+        nc = overlap_chunks
+
+        def step(acc, xs):
+            bk_i, bara_i = xs
+            outs = [
+                external_product_step_sharded(
+                    acc[c * (b // nc):(c + 1) * (b // nc)],
+                    bara_i[c * (b // nc):(c + 1) * (b // nc)],
+                    bk_i, params, tp_axis,
+                )
+                for c in range(nc)
+            ]
+            return jnp.concatenate(outs, axis=0), None
+    else:
+        def step(acc, xs):
+            bk_i, bara_i = xs
+            return (
+                external_product_step_sharded(acc, bara_i, bk_i, params,
+                                              tp_axis),
+                None,
+            )
 
     acc, _ = jax.lax.scan(step, acc0, (bk_local, bara.T))
     return acc

@@ -12,7 +12,8 @@ then illustrative only; CPU "chips" share the same sockets).
 
 Prints one JSON line per dp size plus a summary line with the
 efficiency at max dp.  Env: SB_PARAMS (test_tiny|test_small_noisy|
-ieache_110), SB_BATCH_PER_CHIP (default 256), SB_ITERS (4), SB_TP (1).
+ieache_110), SB_BATCH_PER_CHIP (default 256), SB_ITERS (4), SB_TP (1),
+SB_TP_CHUNKS (2 — the r5 batch-pipelined psum overlap).
 """
 
 import json
@@ -102,7 +103,9 @@ def main():
         elif tp > 1:
             # tp engages the sharded-contraction pipeline (dist/shard.py):
             # bk/ks sharded over tp, one psum per blind-rotation step.
-            boot_fn = dshard.make_sharded_bootstrap(m, p)
+            boot_fn = dshard.make_sharded_bootstrap(
+                m, p, overlap_chunks=int(
+                    os.environ.get("SB_TP_CHUNKS", 2)))
             bk, ksl = dshard.shard_cloud_key(dck, m)
 
             def run():
