@@ -165,16 +165,32 @@ def _dot_digits_g(d8: jnp.ndarray, gv: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _use_pallas(params: TFHEParams) -> bool:
-    """Pallas fused kernel on TPU unless IEACHE_PALLAS=0 (or =1 to
-    force it elsewhere); requires the single-limb gadget and a
-    lane-tileable polynomial degree: with N < 128 (TEST_TINY) the
-    kernels' static lane rolls act on Mosaic's padding lanes and
-    silently corrupt the accumulator — measured on hardware as wrong
-    expr answers at test_tiny while N=1024 is bit-exact."""
+def _interpret() -> bool:
+    """True when IEACHE_PALLAS=interpret: run the Pallas kernels in
+    interpret mode (CPU emulation) — the virtual-mesh coverage hook
+    for the step-mode matrix (VERDICT r4 #7).  Read at trace time;
+    callers changing it mid-process must clear jit caches."""
     import os
 
-    if params.digit_limbs != 1 or params.N % 128 != 0:
+    return os.environ.get("IEACHE_PALLAS") == "interpret"
+
+
+def _use_pallas(params: TFHEParams) -> bool:
+    """Pallas fused kernel on TPU unless IEACHE_PALLAS=0 (or =1 to
+    force it elsewhere; =interpret for CPU-emulated kernels); requires
+    the single-limb gadget and — on real hardware — a lane-tileable
+    polynomial degree: with N < 128 (TEST_TINY) the kernels' static
+    lane rolls act on Mosaic's padding lanes and silently corrupt the
+    accumulator — measured on hardware as wrong expr answers at
+    test_tiny while N=1024 is bit-exact.  Interpret mode does not tile
+    and is exempt from the N constraint."""
+    import os
+
+    if params.digit_limbs != 1:
+        return False
+    if _interpret():
+        return True
+    if params.N % 128 != 0:
         return False
     mode = os.environ.get("IEACHE_PALLAS", "auto")
     if mode == "0":
@@ -207,7 +223,8 @@ def external_product_step(
         from ieache_tpu.ops.pallas_kernels import external_product_pallas
 
         d8 = _step_digits(acc, bara_i, params).astype(jnp.int8)
-        return acc + external_product_pallas(d8, bk_i, params)
+        return acc + external_product_pallas(d8, bk_i, params,
+                                             interpret=_interpret())
     d = _step_digits(acc, bara_i, params)                  # (B, rows, N)
     g = make_step_gmatrix(bk_i, params)                    # (L, rows, kp1, N, N)
 
@@ -461,7 +478,10 @@ def blind_rotate(
                     stacklevel=2,
                 )
                 step_mode = "split"
-        if step_mode == "tr" and acc0.shape[0] % 128:
+        if step_mode == "tr" and acc0.shape[0] % 128 \
+                and not _interpret():
+            # interpret mode is exempt: the %128 constraint is the
+            # hardware lane tile of the (k+1, N, B) layout
             import warnings
 
             warnings.warn(
@@ -483,10 +503,11 @@ def blind_rotate(
 
             def step_t2(acc_t2, xs):
                 bk_i, bara_i = xs
-                d_t2 = rot_diff_decompose_pallas_tr(acc_t2, bara_i,
-                                                    params)
+                d_t2 = rot_diff_decompose_pallas_tr(
+                    acc_t2, bara_i, params, interpret=_interpret()
+                )
                 return external_product_pallas_tr(
-                    d_t2, bk_i, params, acc_t2
+                    d_t2, bk_i, params, acc_t2, interpret=_interpret()
                 ), None
 
             acc_t20 = jnp.transpose(acc0, (1, 2, 0))
@@ -504,20 +525,24 @@ def blind_rotate(
 
             def step_t(acc_t, xs):
                 bk_i, bara_i = xs
-                return kern(acc_t, bara_i, bk_i, params), None
+                return kern(acc_t, bara_i, bk_i, params,
+                            interpret=_interpret()), None
         elif step_mode == "fused2":
             from ieache_tpu.ops.pallas_kernels import cmux_step_pallas
 
             def step_t(acc_t, xs):
                 bk_i, bara_i = xs
-                return cmux_step_pallas(acc_t, bara_i, bk_i,
-                                        params), None
+                return cmux_step_pallas(acc_t, bara_i, bk_i, params,
+                                        interpret=_interpret()), None
         else:
             def step_t(acc_t, xs):
                 bk_i, bara_i = xs
-                d_t = rot_diff_decompose_pallas(acc_t, bara_i, params)
+                d_t = rot_diff_decompose_pallas(
+                    acc_t, bara_i, params, interpret=_interpret()
+                )
                 return external_product_pallas_t(
-                    d_t, bk_i, params, acc_t=acc_t
+                    d_t, bk_i, params, acc_t=acc_t,
+                    interpret=_interpret()
                 ), None
 
         acc_t0 = jnp.transpose(acc0, (1, 0, 2))

@@ -912,7 +912,9 @@ def external_product_pallas_tr(
     bb = b
     while bb > 2048 or (b % bb):
         bb //= 2
-    if b % 128:
+    if b % 128 and not interpret:
+        # lane tile of the (k+1, N, B) layout; interpret mode does not
+        # tile and is exempt (virtual-mesh mode-matrix coverage)
         raise ValueError(f"transposed path needs B % 128 == 0, got {b}")
 
     njb = n // jb

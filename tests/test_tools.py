@@ -32,6 +32,21 @@ def _run(cmd, env_extra, timeout=420):
     return [json.loads(ln) for ln in lines]
 
 
+#: Driver/judge JSON contracts (VERDICT r4 #7: "no test pins the
+#: bench.py JSON schema").  The driver requires exactly one line with
+#: metric/value/unit/vs_baseline; the rest are the fields round
+#: artifacts and BENCH_r*.json consumers read.
+BENCH_REQUIRED = {"metric", "value", "unit", "vs_baseline", "batch",
+                  "iters", "seconds", "decrypt_errors", "params",
+                  "platform", "device"}
+WIDTH_REQUIRED = {"case", "op", "errors", "gates_per_pass", "batch",
+                  "width", "seconds_warm", "bootstraps_per_sec",
+                  "params", "device"}
+EXPR_REQUIRED = {"metric", "value", "unit", "expr", "errors", "batch",
+                 "width", "dp", "gates_per_pass", "seconds_warm",
+                 "bootstraps_per_sec", "params", "device"}
+
+
 @pytest.mark.slow
 def test_bench_smoke():
     # BENCH_FORCE_CPU, not JAX_PLATFORMS: the env var is ignored when
@@ -40,8 +55,11 @@ def test_bench_smoke():
                   {"BENCH_PARAMS": "tiny", "BENCH_ITERS": "2",
                    "BENCH_FORCE_CPU": "1"})
     assert rec["metric"] == "gate_bootstraps_per_sec_per_chip"
+    assert rec["unit"] == "bootstraps/s"
     assert rec["decrypt_errors"] == 0
-    assert rec["value"] > 0
+    assert rec["value"] > 0 and rec["vs_baseline"] > 0
+    missing = BENCH_REQUIRED - set(rec)
+    assert not missing, f"bench.py contract fields missing: {missing}"
 
 
 @pytest.mark.slow
@@ -51,6 +69,8 @@ def test_width_bench_smoke():
                    "WB_CASES": "mul32"})
     assert rec["case"] == "mul32" and rec["errors"] == 0
     assert rec["gates_per_pass"] > 0
+    missing = WIDTH_REQUIRED - set(rec)
+    assert not missing, f"width_bench contract fields missing: {missing}"
 
 
 @pytest.mark.slow
@@ -59,6 +79,8 @@ def test_expr_bench_smoke_both_exprs():
                   {"EB_FORCE_CPU": "1", "EB_PARAMS": "test_tiny",
                    "EB_BATCH": "8", "EB_WIDTH": "8", "EB_DP": "8"})
     assert rec["expr"] == "A+B-C" and rec["errors"] == 0
+    missing = EXPR_REQUIRED - set(rec)
+    assert not missing, f"expr_bench contract fields missing: {missing}"
     (rec,) = _run(["tools/expr_bench.py"],
                   {"EB_FORCE_CPU": "1", "EB_PARAMS": "test_tiny",
                    "EB_BATCH": "8", "EB_WIDTH": "8", "EB_DP": "8",
@@ -94,16 +116,28 @@ def test_scaling_bench_smoke():
 
 
 def test_comm_model_meets_scaling_target():
-    """The analytical comm model (VERDICT r3 item 3b) emits per-axis
-    projections, and the primary dp axis meets the >=80% @ v5e-16
-    BASELINE target."""
+    """The analytical comm model (VERDICT r3 item 3b, r4 #5) emits
+    per-axis projections with cited constants; the primary dp axis
+    meets the >=80% @ v5e-16 BASELINE target and the overlapped tp=2
+    schedule projects >=0.9."""
     (rec,) = _run(["tools/comm_model.py"], {})
-    rows = {(r["axis"], r["ways"], r["chips"],
-             r["batch_per_chip"]): r for r in rec["rows"]}
-    assert rows[("dp", 16, 16, 1024)]["projected_efficiency"] >= 0.99
-    # tp/sp carry one collective per step: quantified, below dp
-    assert 0 < rows[("tp", 2, 8, 1024)]["projected_efficiency"] < 1
-    assert rows[("sp", 4, 16, 8)]["comm_bytes_per_step"] > 0
+    rows = {(r["axis"], r["ways"], r["chips"], r["batch_per_chip"],
+             r["overlap_chunks"], r["fabric"]): r for r in rec["rows"]}
+    assert rows[("dp", 16, 16, 1024, 1, "ici")][
+        "projected_efficiency"] >= 0.99
+    # tp carries one psum per step: unoverlapped is the lower bound,
+    # the r5 batch-pipelined schedule recovers >=0.9 at C=4
+    un = rows[("tp", 2, 8, 1024, 1, "ici")]["projected_efficiency"]
+    ov = rows[("tp", 2, 8, 1024, 4, "ici")]["projected_efficiency"]
+    assert 0 < un < ov and ov >= 0.9
+    assert rows[("sp", 4, 16, 8, 1, "ici")]["comm_bytes_per_step"] > 0
+    # DCN rows + citations present (constants must carry sources)
+    assert rows[("dp", 16, 16, 1024, 1, "dcn")][
+        "projected_efficiency"] >= 0.99
+    assert rows[("tp", 2, 16, 1024, 4, "dcn")][
+        "projected_efficiency"] < ov
+    cits = rec["assumptions"]["citations"]
+    assert {"ici", "ring_factor", "dcn", "measured_step"} <= set(cits)
 
 
 def test_keyplane_bench_smoke():
