@@ -35,10 +35,15 @@ def _params(name: str):
 
     table = {
         "ieache_110": P.IEACHE_110,
+        "ieache_110_l2": P.IEACHE_110_FAST,  # the bench gadget (l=2)
         "tfhe_compat": P.IEACHE_110_TFHE_COMPAT,
         "test_tiny": P.TEST_TINY,
         "test_small_noisy": P.TEST_SMALL_NOISY,
     }
+    if name not in table:
+        raise SystemExit(
+            f"unknown --params {name!r}; one of {sorted(table)}"
+        )
     return table[name]
 
 
@@ -346,7 +351,28 @@ def cmd_serve(args):
 
     port = args.port or (4380 if args.plane == "key" else 4381)
     if args.role == "keygen":
-        node = nodes.KeygenNode(_params(args.params), cfg=cfg)
+        pair = None
+        if args.keycache:
+            from ieache_tpu.codec import files
+            from ieache_tpu.lwe import keygen as kg
+            from ieache_tpu.lwe.types import GateKeyPair
+
+            p = _params(args.params)
+            os.makedirs(args.keycache, exist_ok=True)
+
+            def _cached(seed, tag):
+                path = os.path.join(args.keycache,
+                                    f"{p.name}_{tag}.iek")
+                if os.path.exists(path):
+                    return files.load_secret_keyset(path)
+                ks = kg.generate_secret_keyset(p, seed)
+                files.save_secret_keyset(path, ks)
+                return ks
+
+            pair = GateKeyPair(main=_cached(kg.MAIN_SEED, ""),
+                               nbit=_cached(kg.NBIT_SEED, "nbit"))
+        node = nodes.KeygenNode(_params(args.params), cfg=cfg,
+                                pair=pair)
         # bind first (generous admission wait: peer processes may
         # still be importing jax when the first connections land),
         # THEN discover — the liveness probes may target services
@@ -373,9 +399,12 @@ def cmd_serve(args):
     elif args.role == "client":
         node = nodes.ClientNode(args.index, cfg=cfg)
         node.receive_keys(addr(args.keygen_addr, 4380))
-        value = (args.value if args.value is not None
-                 else fixtures.canned_value(args.width))
-        node.set_value([value], args.width)
+        if args.values:
+            values = [int(v) for v in args.values.split(",")]
+        else:
+            values = [args.value if args.value is not None
+                      else fixtures.canned_value(args.width)]
+        node.set_value(values, args.width)
         node.start_data_server(args.bind, port)
         print(f"client-{args.index} serving on {args.bind}:{port}",
               flush=True)
@@ -386,8 +415,17 @@ def cmd_serve(args):
         node.receive_keys(addr(args.keygen_addr, 4380))
         node.start_job_server(args.bind, port)
         print(f"cloud serving on {args.bind}:{port}", flush=True)
+        seen = 0
         while True:
-            _t.sleep(3600)
+            _t.sleep(0.5 if args.print_spans else 3600)
+            if args.print_spans:
+                spans = node.trace.spans
+                while seen < len(spans):
+                    import json as _json
+
+                    print("SPAN " + _json.dumps(spans[seen]),
+                          flush=True)
+                    seen += 1
 
 
 def build_parser():
@@ -487,7 +525,19 @@ def build_parser():
     p.add_argument("--index", type=int, default=1,
                    help="client index (1-3)")
     p.add_argument("--value", type=int, default=None)
+    p.add_argument("--values", default="",
+                   help="client: comma-separated batch of values "
+                        "(one expression lane each; overrides --value)")
     p.add_argument("--width", type=int, default=32)
+    p.add_argument("--keycache", default="",
+                   help="keygen: directory of cached .iek keysets — "
+                        "the reference's keygen-once optimized mode "
+                        "(AC058.pdf Fig.9, keygen_dynamic.py:695); "
+                        "generated + saved there when absent")
+    p.add_argument("--print-spans", action="store_true",
+                   help="cloud: emit 'SPAN {json}' lines for each "
+                        "trace span (the timings.txt hook for "
+                        "harness-side collection)")
     p.add_argument("--expect-peers", type=int, default=4,
                    help="keygen: peers to serve before 'finished'")
     p.add_argument("--clients", default="",

@@ -528,23 +528,30 @@ class CloudNode:
         """Accept a job from Output over SAE; reply with the answer."""
         def handle(conn, peer):
             try:
-                pmk, _ = transport.sae_handshake(conn, self.password,
-                                                 self.mac)
-                job = transport.recv_msg(conn, schema.DataUserInput)
-                postfix = keywrap.decrypt_bytes(
-                    pmk, job["postfix"]["postfix"]
-                ).decode()
-                # client endpoints ride the ipaddress fields as
-                # "letter=host:port" (AES-wrapped like the reference's
-                # per-field blobs, output_dynamic.py:748-867)
-                for fld in ("ipaddress1", "ipaddress2", "ipaddress3"):
-                    raw = job["ipaddress"].get(fld)
-                    if not raw:
-                        continue
-                    txt = keywrap.decrypt_bytes(pmk, raw).decode()
-                    letter, hostport = txt.split("=", 1)
-                    host, port = hostport.rsplit(":", 1)
-                    self.client_addrs[letter] = (host, int(port))
+                # job_receive: SAE + descriptor decode — the Cloud half
+                # of the reference's "user-input processing" phase
+                # (`dragonfly_cipher_cloud.py:600-715`)
+                with self.trace.span("job_receive"):
+                    pmk, _ = transport.sae_handshake(
+                        conn, self.password, self.mac
+                    )
+                    job = transport.recv_msg(conn, schema.DataUserInput)
+                    postfix = keywrap.decrypt_bytes(
+                        pmk, job["postfix"]["postfix"]
+                    ).decode()
+                    # client endpoints ride the ipaddress fields as
+                    # "letter=host:port" (AES-wrapped like the
+                    # reference's per-field blobs,
+                    # output_dynamic.py:748-867)
+                    for fld in ("ipaddress1", "ipaddress2",
+                                "ipaddress3"):
+                        raw = job["ipaddress"].get(fld)
+                        if not raw:
+                            continue
+                        txt = keywrap.decrypt_bytes(pmk, raw).decode()
+                        letter, hostport = txt.split("=", 1)
+                        host, port = hostport.rsplit(":", 1)
+                        self.client_addrs[letter] = (host, int(port))
                 transport.send_ack(conn)
                 try:
                     answer, last_op = self.run_job(postfix)
@@ -555,20 +562,21 @@ class CloudNode:
                         {"data": f"error: {e}"},
                     )
                     return
-                blob = wire.operand_to_bytes(
-                    answer,
-                    self.evaluator.dck.params,
-                    self.evaluator.nbit_ks.params,
-                )
-                transport.send_msg(
-                    conn, schema.DataIndicator, {"data": "answer"}
-                )
-                transport.send_blob(
-                    conn, blob,
-                    size_schema=schema.DataAnsSize,
-                    content_schema=schema.DataAnswer,
-                    chunk=self.cfg.chunk_size,
-                )
+                with self.trace.span("answer_ship"):
+                    blob = wire.operand_to_bytes(
+                        answer,
+                        self.evaluator.dck.params,
+                        self.evaluator.nbit_ks.params,
+                    )
+                    transport.send_msg(
+                        conn, schema.DataIndicator, {"data": "answer"}
+                    )
+                    transport.send_blob(
+                        conn, blob,
+                        size_schema=schema.DataAnsSize,
+                        content_schema=schema.DataAnswer,
+                        chunk=self.cfg.chunk_size,
+                    )
                 log.info("cloud: answer shipped (%d bytes)", len(blob))
             finally:
                 conn.close()
@@ -592,6 +600,9 @@ class OutputNode:
         self.main_ks: SecretKeySet | None = None
         self.nbit_ks: SecretKeySet | None = None
         self._finished = threading.Event()
+        #: structured spans — the reference Output's timings.txt role
+        #: (`output_dynamic.py:736-743,849-857,1037-1041`)
+        self.trace = trace.Timings()
 
     def receive_keys(self, keygen_addr):
         s = transport.connect_retry(
@@ -632,67 +643,82 @@ class OutputNode:
         `validateIP` + ping gate (`output_dynamic.py:1096-1113`)."""
         from ieache_tpu.cli import convert
 
-        for letter in sorted(client_addrs):
-            chost, cport = client_addrs[letter]
-            if not convert.validate_ipv4(chost):
-                raise ValueError(
-                    f"Invalid IP address for operand {letter}: {chost!r}"
-                )
-            if check_liveness and not liveness.host_alive(chost, cport):
-                raise ValueError(
-                    f"Host for operand {letter} ({chost}:{cport}) "
-                    "is not alive"
-                )
-        s = transport.connect_retry(
-            *cloud_addr, retries=self.cfg.connect_retries,
-            delay=self.cfg.connect_retry_s,
-        )
-        s.settimeout(timeout)
+        s = None
         try:
-            pmk, _ = transport.sae_handshake(s, self.password, self.mac)
-            letters, _ops = scheduler.parse_postfix(postfix)
-            ipfields = {}
-            for i, letter in enumerate(letters):
-                host, port = client_addrs[letter]
-                ipfields[f"ipaddress{i + 1}"] = keywrap.encrypt_bytes(
-                    pmk, f"{letter}={host}:{port}".encode()
-                )
-            opfields = {
-                f"operation{i + 1}": keywrap.encrypt_bytes(
-                    pmk, str(scheduler.OPCODES[c]).encode()
-                )
-                for i, c in enumerate(_ops)
-            }
-            transport.send_msg(
-                s, schema.DataUserInput,
-                {
-                    "ipaddress": ipfields,
-                    "operation": opfields,
-                    "postfix": {
-                        "postfix": keywrap.encrypt_bytes(
-                            pmk, postfix.encode()
+            # "user-input processing" (`AC058.pdf` p.4 §III.E, mean
+            # 6.90 s; hook `output_dynamic.py:849-857`): validation +
+            # SAE with Cloud + per-field AES wrap + BER job send + ack
+            with self.trace.span("user_input_processing",
+                                 postfix=postfix):
+                for letter in sorted(client_addrs):
+                    chost, cport = client_addrs[letter]
+                    if not convert.validate_ipv4(chost):
+                        raise ValueError(
+                            f"Invalid IP address for operand "
+                            f"{letter}: {chost!r}"
                         )
+                    if check_liveness and not liveness.host_alive(
+                            chost, cport):
+                        raise ValueError(
+                            f"Host for operand {letter} "
+                            f"({chost}:{cport}) is not alive"
+                        )
+                s = transport.connect_retry(
+                    *cloud_addr, retries=self.cfg.connect_retries,
+                    delay=self.cfg.connect_retry_s,
+                )
+                s.settimeout(timeout)
+                pmk, _ = transport.sae_handshake(s, self.password,
+                                                 self.mac)
+                letters, _ops = scheduler.parse_postfix(postfix)
+                ipfields = {}
+                for i, letter in enumerate(letters):
+                    host, port = client_addrs[letter]
+                    ipfields[f"ipaddress{i + 1}"] = \
+                        keywrap.encrypt_bytes(
+                            pmk, f"{letter}={host}:{port}".encode()
+                        )
+                opfields = {
+                    f"operation{i + 1}": keywrap.encrypt_bytes(
+                        pmk, str(scheduler.OPCODES[c]).encode()
+                    )
+                    for i, c in enumerate(_ops)
+                }
+                transport.send_msg(
+                    s, schema.DataUserInput,
+                    {
+                        "ipaddress": ipfields,
+                        "operation": opfields,
+                        "postfix": {
+                            "postfix": keywrap.encrypt_bytes(
+                                pmk, postfix.encode()
+                            )
+                        },
                     },
-                },
-            )
-            if not transport.recv_ack(s):
-                raise ConnectionError("job rejected")
-            status = transport.recv_msg(s, schema.DataIndicator)["data"]
-            if status != "answer":
-                raise RuntimeError(status)
-            blob = transport.recv_blob(
-                s,
-                size_schema=schema.DataAnsSize,
-                content_schema=schema.DataAnswer,
-            )
+                )
+                if not transport.recv_ack(s):
+                    raise ConnectionError("job rejected")
+            with self.trace.span("answer_wait", postfix=postfix):
+                status = transport.recv_msg(
+                    s, schema.DataIndicator)["data"]
+                if status != "answer":
+                    raise RuntimeError(status)
+                blob = transport.recv_blob(
+                    s,
+                    size_schema=schema.DataAnsSize,
+                    content_schema=schema.DataAnswer,
+                )
         finally:
-            s.close()
-        answer = wire.operand_from_bytes(blob)
-        last_op = _ops[-1]
-        return ev.decrypt_answer(
-            self.main_ks, self.nbit_ks, answer,
-            scheduler.OPCODES[last_op],
-        )
+            if s is not None:
+                s.close()
+        # the ./verif role (`Output/verif.c`)
+        with self.trace.span("verify", postfix=postfix):
+            answer = wire.operand_from_bytes(blob)
+            last_op = _ops[-1]
+            return ev.decrypt_answer(
+                self.main_ks, self.nbit_ks, answer,
+                scheduler.OPCODES[last_op],
+            )
 
     def stop(self):
         if getattr(self, "_srv", None) is not None:

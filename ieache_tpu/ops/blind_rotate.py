@@ -490,6 +490,32 @@ def blind_rotate(
                 stacklevel=2,
             )
             step_mode = "split"
+        if step_mode == "scan" and acc0.shape[0] > 512:
+            import warnings
+
+            warnings.warn(
+                f"IEACHE_PALLAS_STEP=scan caps the batch at 512 "
+                f"(VMEM-resident accumulator); got {acc0.shape[0]} — "
+                "falling back to 'split'",
+                stacklevel=2,
+            )
+            step_mode = "split"
+        if step_mode == "scan":
+            # whole-rotation kernel: ONE pallas launch for all n CMux
+            # steps, accumulator resident in VMEM scratch — the
+            # small-batch latency mode (r5; kills the per-step launch
+            # + acc-HBM overhead that pinned B=8 at 27 us/step,
+            # LATENCY8_r04)
+            from ieache_tpu.ops.pallas_kernels import (
+                blind_rotate_scan_pallas,
+            )
+
+            acc_t = blind_rotate_scan_pallas(
+                jnp.transpose(acc0, (1, 0, 2)), bara, bk, params,
+                interpret=_interpret(),
+            )
+            out = jnp.transpose(acc_t, (1, 0, 2))
+            return out[:b] if pad else out
         if step_mode == "tr":
             # fully-transposed (k+1, N, B) pipeline: batch on the lane
             # axis so every ext-product dot is B-wide (the >=2048-lane

@@ -417,6 +417,151 @@ def cmux_step_pallas(acc_t: jnp.ndarray, bara_i: jnp.ndarray,
     )(acc_t, bara_i[:, None], bk_i[:, :, None, :])
 
 
+def _blind_rotate_scan_kernel(acc0_ref, bara_ref, bk_ref, out_ref,
+                              ascratch, dscratch, tscratch, *, n: int,
+                              chunk: int, log2_2n: int, bg_bit: int,
+                              l: int, offset: int, kp1: int,
+                              steps: int, rows: int):
+    """The ENTIRE blind rotation as one kernel: grid (steps, kp1,
+    rows) with steps MAJOR, the accumulator persistent in VMEM scratch
+    across all grid iterations.
+
+    The r4 small-batch floor decomposition (LATENCY8_r04) showed the
+    B=8 per-step cost pinned at ~27 us by per-step fixed overheads —
+    two pallas launches + the acc HBM round-trip per scan iteration —
+    not by compute (chunk=64 vs 256 moved it only 13%).  Here the scan
+    disappears: one launch per 500 steps, acc never touches HBM, and
+    per-step HBM traffic is the 32 KB BK step (streamed + Mosaic
+    double-buffered via the grid index_map).  VMEM budget caps the
+    batch at ~512 lanes (acc + digits + Toeplitz scratch); bigger
+    batches keep the split pipeline (throughput mode, where the scan
+    overhead is invisible).
+
+    Program (s, o, p):
+    * (o==0, p==0): CMux rotation + diff + gadget decompose of the
+      RESIDENT accumulator (step s-1's result) into dscratch;
+    * every program: the (o, p) Toeplitz matmuls accumulated into
+      ascratch[o] (read-modify-write on scratch);
+    * (s==steps-1): flush ascratch to the output block.
+
+    Sequential grid iteration is the step dependency: Mosaic runs the
+    grid as a loop on one core, so step s's rotation reads the fully
+    accumulated step s-1 state.
+    """
+    s = pl.program_id(0)
+    o = pl.program_id(1)
+    p = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(s == 0,
+                             jnp.logical_and(o == 0, p == 0)))
+    def _():
+        ascratch[...] = acc0_ref[...]
+
+    @pl.when(jnp.logical_and(o == 0, p == 0))
+    def _():
+        def write(row, d):
+            dscratch[row] = d
+
+        _rotate_decompose_into(
+            ascratch[...], bara_ref[...].T, write,
+            n=n, log2_2n=log2_2n, bg_bit=bg_bit, l=l, offset=offset,
+            kp1=kp1,
+        )
+
+    g = bk_ref[0, 0, 0, :][None, :]                # (1, N) int32
+    e = jnp.concatenate([-g, g], axis=1) + jnp.int32(_LIMB_BIAS)
+    d = dscratch[pl.ds(p, 1)][0]                   # (bb, N) int8
+
+    tscratch[0:1, :] = e
+    size = 1
+    while size < chunk:
+        tscratch[size:2 * size, :] = pltpu.roll(
+            tscratch[0:size, :], size, axis=1
+        )
+        size *= 2
+
+    for c in range(n // chunk):
+        if c > 0:
+            tscratch[:, :] = pltpu.roll(tscratch[:, :], chunk, axis=1)
+        x = tscratch[:, n:]                        # (chunk, N), biased
+        dc = d[:, c * chunk:(c + 1) * chunk]       # (bb, chunk) int8
+        for v in range(TORUS_LIMBS):
+            sx = ((x >> (8 * v)) & 0xFF) - 128
+            part = jax.lax.dot_general(
+                dc, sx.astype(jnp.int8),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            ascratch[pl.ds(o, 1), :, :] += (part << (8 * v))[None]
+
+    @pl.when(jnp.logical_and(s == steps - 1, p == rows - 1))
+    def _():
+        out_ref[...] = ascratch[pl.ds(o, 1)]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "interpret")
+)
+def blind_rotate_scan_pallas(acc_t: jnp.ndarray, bara: jnp.ndarray,
+                             bk: jnp.ndarray, params: TFHEParams,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Whole-rotation kernel: acc_t (k+1, B, N) int32, bara (B, n)
+    int32, bk (n, rows, k+1, N) int32 -> final acc_t, exact mod 2^32.
+
+    One pallas_call for all n CMux steps (IEACHE_PALLAS_STEP=scan);
+    bit-identical to the per-step pipelines (tests/test_pallas_kernels,
+    tools/pallas_probe.py)."""
+    if params.digit_limbs != 1:
+        raise ValueError("pallas path requires single-limb digits")
+    import os
+
+    from ieache_tpu.ops.decompose import _offset
+
+    kp1, b, n = acc_t.shape
+    rows = params.trgsw_rows
+    steps = bara.shape[1]
+    if b % 8:
+        raise ValueError(f"batch {b} must be a multiple of 8")
+    if b > 512:
+        raise ValueError(
+            f"scan kernel caps the batch at 512 (VMEM-resident acc); "
+            f"got {b} — use the split pipeline"
+        )
+
+    off = _offset(params.bg_bit, params.l)
+    if off >= 2**31:
+        off -= 2**32
+
+    chunk = min(int(os.environ.get(
+        "IEACHE_EXT_CHUNK", 256 if b >= 128 else 64)), n)
+
+    return pl.pallas_call(
+        functools.partial(
+            _blind_rotate_scan_kernel, n=n, chunk=chunk,
+            log2_2n=params.log2_2N, bg_bit=params.bg_bit,
+            l=params.l, offset=off, kp1=kp1, steps=steps, rows=rows,
+        ),
+        grid=(steps, kp1, rows),
+        in_specs=[
+            pl.BlockSpec((kp1, b, n), lambda s, o, p: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), lambda s, o, p: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, n), lambda s, o, p: (s, p, o, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, b, n), lambda s, o, p: (o, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kp1, b, n), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((kp1, b, n), jnp.int32),
+            pltpu.VMEM((rows, b, n), jnp.int8),
+            pltpu.VMEM((chunk, 2 * n), jnp.int32),
+        ],
+        interpret=interpret,
+    )(acc_t, bara.T, bk)
+
+
 def _rotate_decompose_into(x0, amt, write, *, n: int, log2_2n: int,
                            bg_bit: int, l: int, offset: int, kp1: int):
     """Barrel-shift rotate + diff + gadget-decompose a (kp1, m, N)

@@ -381,3 +381,47 @@ def test_pallas_transposed_full_step_matches():
         d_t2, jnp.asarray(bk_i), p, acc_t2, interpret=True,
     ))
     np.testing.assert_array_equal(np.transpose(got, (0, 2, 1)), want)
+
+
+def test_blind_rotate_scan_kernel_matches_xla():
+    """The whole-rotation scan kernel (one pallas_call for all n CMux
+    steps, VMEM-resident accumulator — IEACHE_PALLAS_STEP=scan) is
+    bit-identical to the XLA blind rotation."""
+    import os
+
+    import jax
+
+    from ieache_tpu.lwe import encrypt, keygen
+    import ieache_tpu.boot.bootstrap as B
+
+    p = P.TEST_TINY
+    ks = keygen.generate_secret_keyset(p)
+    dck = B.pack_cloud_key(ks.cloud)
+    bits = prng.uniform_bits01(prng.key_from_seed_words([91]), 24)
+    ct = jnp.asarray(
+        encrypt.encrypt_bits(ks, bits, prng.key_from_seed_words([92]))
+    )
+
+    saved = {k: os.environ.get(k)
+             for k in ("IEACHE_PALLAS", "IEACHE_PALLAS_STEP")}
+    try:
+        os.environ["IEACHE_PALLAS"] = "0"
+        os.environ.pop("IEACHE_PALLAS_STEP", None)
+        jax.clear_caches()
+        ref = np.asarray(B.bootstrap(ct, dck))
+
+        os.environ["IEACHE_PALLAS"] = "interpret"
+        os.environ["IEACHE_PALLAS_STEP"] = "scan"
+        jax.clear_caches()
+        got = np.asarray(B.bootstrap(ct, dck))
+        np.testing.assert_array_equal(got, ref)
+        np.testing.assert_array_equal(
+            np.asarray(encrypt.decrypt_bits(ks, got)), np.asarray(bits)
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+        jax.clear_caches()

@@ -149,3 +149,25 @@ def test_keyplane_bench_smoke():
     assert rec["probe"] == "keyplane_fig9_fig10"
     one = rec["per_clients"]["1"]
     assert one["total_s"] > 0 and len(one["client_exchange_s"]) == 1
+
+
+@pytest.mark.slow
+def test_e2e_bench_smoke():
+    """The full-system E2E harness (six OS processes, every BASELINE
+    phase spanned) runs at tiny params on CPU with decrypt_errors=0
+    and carries all the phase rows the round artifact needs."""
+    (rec,) = _run(["tools/e2e_bench.py"],
+                  {"E2E_PARAMS": "test_tiny", "E2E_FORCE_CPU": "1",
+                   "E2E_WIDTH": "8", "E2E_BATCH": "2",
+                   "E2E_TIMEOUT": "300"}, timeout=600)
+    assert rec["probe"] == "e2e_lambda110"
+    assert rec["decrypt_errors"] == 0
+    rows = rec["baseline_rows"]
+    for key in ("key_exchange", "user_input_processing",
+                "data_request_per_operand",
+                "compute_total_warm[AB+C-]",
+                "compute_total_warm[AB*C-]"):
+        assert key in rows and rows[key]["speedup"] > 0, key
+    names = {s["name"] for s in rec["cloud_spans"]}
+    assert {"job_receive", "data_request", "compute_chain",
+            "answer_ship"} <= names
