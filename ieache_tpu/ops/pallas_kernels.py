@@ -943,7 +943,7 @@ def rot_diff_decompose_pallas(
 
 def _ext_product_tr_kernel(d_ref, bkrev_ref, acc_ref, out_ref,
                            tscratch, pscratch, *, n: int, jb: int,
-                           chunk: int, fold: int):
+                           chunk: int, fold: int, impl: str = "plane"):
     """Transposed-layout external-product tile: out[o, jb-block, lanes]
     += Toeplitz^T(bk[p, o])[jb-block] @ digits[p].
 
@@ -962,6 +962,15 @@ def _ext_product_tr_kernel(d_ref, bkrev_ref, acc_ref, out_ref,
     pre-tiled (rows, k+1, N/jb, N+jb) reversed/biased/XOR'd BK step.
 
     Grid (k+1, N/jb, B/bb, rows), rows minor (out accumulates over p).
+
+    ``impl`` (IEACHE_TR_IMPL) is the r5 decomposition hook (VERDICT
+    r4 #4 — the probe methodology that cracked the split kernel):
+    * "plane": the real kernel;
+    * "probe_ident": seed-from-acc only — times the rotation kernel +
+      per-program fixed overhead (garbage output);
+    * "probe_nodot": Toeplitz build + limb extract, no dots;
+    * "probe_noextract": dots + RMW from UNINITIALIZED planes, no
+      build/extract.
     """
     p = pl.program_id(3)
 
@@ -969,21 +978,31 @@ def _ext_product_tr_kernel(d_ref, bkrev_ref, acc_ref, out_ref,
     def _():
         out_ref[...] = acc_ref[...]
 
+    if impl == "probe_ident":
+        return
+
     base = bkrev_ref[0]                          # (1, N+jb) int32
     d = d_ref[0]                                 # (N, bb) int8
 
-    tscratch[0:1, :] = base
-    size = 1
-    while size < jb:
-        tscratch[size:2 * size, :] = pltpu.roll(
-            tscratch[0:size, :], size, axis=1
-        )
-        size *= 2
+    if impl != "probe_noextract":
+        tscratch[0:1, :] = base
+        size = 1
+        while size < jb:
+            tscratch[size:2 * size, :] = pltpu.roll(
+                tscratch[0:size, :], size, axis=1
+            )
+            size *= 2
 
-    xs = tscratch[:, :]
-    for v in range(TORUS_LIMBS):
-        sx = (xs << (24 - 8 * v)) >> 24          # sign-extended byte_v
-        pscratch[v] = sx.astype(jnp.int8)
+        xs = tscratch[:, :]
+        for v in range(TORUS_LIMBS):
+            sx = (xs << (24 - 8 * v)) >> 24      # sign-extended byte_v
+            pscratch[v] = sx.astype(jnp.int8)
+
+    if impl == "probe_nodot":
+        # token dependency so the build+extract is not dead code
+        out_ref[0, 0:1, :] += pscratch[0, 0:1, 0:d.shape[1]
+                                       ].astype(jnp.int32)
+        return
 
     for c in range(n // chunk):
         lo = jb + c * chunk
@@ -1068,9 +1087,10 @@ def external_product_pallas_tr(
     bkrev = _bk_rev_tiles(bk_i, n, jb).reshape(
         rows * kp1 * njb, 1, n + jb
     )
+    impl = os.environ.get("IEACHE_TR_IMPL", "plane")
     return pl.pallas_call(
         functools.partial(_ext_product_tr_kernel, n=n, jb=jb,
-                          chunk=chunk, fold=fold),
+                          chunk=chunk, fold=fold, impl=impl),
         grid=(kp1, njb, b // bb, rows),
         in_specs=[
             pl.BlockSpec((1, n, bb), lambda o, j, bi, p: (p, 0, bi),

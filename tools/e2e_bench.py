@@ -90,12 +90,17 @@ def main():
     import numpy as np
 
     rng = np.random.RandomState(11)
-    # operand values: positive, headroom for A-B*C at `width` bits
-    half = 1 << (width // 2 - 2)
+    # operand values at FULL declared width (the reference's canned
+    # value is 2^(n-2), `process.c:80-204` — ~(w-1)-bit operands): the
+    # evaluator's width-asymmetric circuits must run the real w x w
+    # multiply, not a short one.  [2^(w-3), 2^(w-2)) keeps A+B-C
+    # positive while A-B*C goes deeply negative (sign path covered).
+    lo = 1 << max(width - 3, 1)
+    hi = 1 << max(width - 2, 2)
     vals = {
-        "A": rng.randint(1, half, batch).tolist(),
-        "B": rng.randint(1, half, batch).tolist(),
-        "C": rng.randint(1, half, batch).tolist(),
+        "A": [int(rng.randint(lo, hi)) for _ in range(batch)],
+        "B": [int(rng.randint(lo, hi)) for _ in range(batch)],
+        "C": [int(rng.randint(lo, hi)) for _ in range(batch)],
     }
 
     keycache = os.path.join(REPO, ".keycache")

@@ -55,30 +55,53 @@ def main():
     bks = jnp.asarray(
         rng.randint(-2**31, 2**31, (steps, rows, kp1, n)).astype(np.int32))
 
+    interp = os.environ.get("IEACHE_PALLAS") == "interpret"
+
     def body(mode):
-        if mode == "tr":
+        if mode == "scan":
+            # whole-rotation kernel: ONE pallas_call for all steps
+            @jax.jit
+            def f(acc_t, bks, bara):
+                acc = pk.blind_rotate_scan_pallas(acc_t, bara.T, bks, p,
+                                                  interpret=interp)
+                return jnp.sum(acc, dtype=jnp.int32)
+
+            return f
+        if mode == "tr" or mode.startswith("tr:"):
+            # "tr:probe_ident|probe_nodot|probe_noextract" set the
+            # ext kernel's IEACHE_TR_IMPL decomposition hook (r5);
+            # probe outputs are garbage — checksums differ, timing
+            # only
+            impl = mode.partition(":")[2] or "plane"
+            os.environ["IEACHE_TR_IMPL"] = impl
+            jax.clear_caches()
+
             def step(acc, xs):
                 bk_i, bara_i = xs
-                d_t2 = pk.rot_diff_decompose_pallas_tr(acc, bara_i, p)
+                d_t2 = pk.rot_diff_decompose_pallas_tr(
+                    acc, bara_i, p, interpret=interp)
                 return pk.external_product_pallas_tr(
-                    d_t2, bk_i, p, acc), None
+                    d_t2, bk_i, p, acc, interpret=interp), None
         elif mode in ("overlap", "overlap2"):
             kern = (pk.cmux_step_overlap2_pallas if mode == "overlap2"
                     else pk.cmux_step_overlap_pallas)
 
             def step(acc, xs):
                 bk_i, bara_i = xs
-                return kern(acc, bara_i, bk_i, p), None
+                return kern(acc, bara_i, bk_i, p,
+                            interpret=interp), None
         elif mode == "fused2":
             def step(acc, xs):
                 bk_i, bara_i = xs
-                return pk.cmux_step_pallas(acc, bara_i, bk_i, p), None
+                return pk.cmux_step_pallas(acc, bara_i, bk_i, p,
+                                           interpret=interp), None
         elif mode == "split":
             def step(acc, xs):
                 bk_i, bara_i = xs
-                d_t = pk.rot_diff_decompose_pallas(acc, bara_i, p)
+                d_t = pk.rot_diff_decompose_pallas(
+                    acc, bara_i, p, interpret=interp)
                 return pk.external_product_pallas_t(
-                    d_t, bk_i, p, acc_t=acc), None
+                    d_t, bk_i, p, acc_t=acc, interpret=interp), None
         else:
             raise SystemExit(f"unknown mode {mode!r}")
 
@@ -96,7 +119,7 @@ def main():
     for mode in modes:
         mode = mode.strip()
         f = body(mode)
-        a0 = acc_t2 if mode == "tr" else acc_t
+        a0 = acc_t2 if mode.startswith("tr") else acc_t
         print(f"# {mode}: compiling...", flush=True)
         t0 = time.time()
         out = np.asarray(f(a0, bks, bara))   # materialize = fence
