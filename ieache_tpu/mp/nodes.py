@@ -500,6 +500,11 @@ class CloudNode:
                 ans, info = self.evaluator.compute_steps(
                     ev_steps, operands
                 )
+                # fence: materialize one lane — block_until_ready does
+                # NOT fence on the tunneled platform (CLAUDE.md); a
+                # tiny host pull forces the whole dispatch so the span
+                # is the real compute time, not the enqueue time
+                np.asarray(ans.value[..., -1])
             self.trace.count("bootstraps",
                              self.evaluator.gate_count - before)
             self.timings.append(
@@ -514,6 +519,7 @@ class CloudNode:
                 ans, info = self.evaluator.compute(
                     scheduler.OPCODES[op_char], a, b
                 )
+                np.asarray(ans.value[..., -1])  # fence (see above)
             self.trace.count("bootstraps",
                              self.evaluator.gate_count - before)
             self.timings.append(
