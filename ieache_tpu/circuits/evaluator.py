@@ -436,6 +436,28 @@ class CloudEvaluator:
         """
         from ieache_tpu.circuits import fused as fz
 
+        plan, swaps, comps, answer_codes, combined, step_w = \
+            self._plan_steps(steps, operands)
+        result = _chain_exec(
+            self.dck,
+            tuple(o.value for o in operands),
+            tuple(swaps), tuple(comps), tuple(plan),
+            fz.adder_mode(), fz.mul_mode(),
+        )
+        final_op = steps[-1][0]
+        return self._finish_answer(
+            final_op, max(plan[-1][1], plan[-1][2]), step_w[-1],
+            answer_codes, combined, result, operands[0].carry_word,
+        )
+
+    def _plan_steps(self, steps: list, operands: list,
+                    count_gates: bool = True):
+        """Host-side chain planning shared by :meth:`compute_steps`
+        and :meth:`chain_memory_analysis` — decrypts the cleartext
+        metadata, resolves per-step widths/sign dataflows, and builds
+        the static plan for :func:`_chain_exec`."""
+        from ieache_tpu.circuits import fused as fz
+
         nbit = self.nbit_ks
         negs = [_decrypt_meta_value(nbit, o.neg_word) for o in operands]
         bitws = [
@@ -471,15 +493,18 @@ class CloudEvaluator:
                 if w >= 256:
                     raise MulWidthError("Cannot multiply 256 bit number!")
                 ow = 2 * w
-                if fz.mul_mode() == "csa":
-                    self.gate_count += fz._csa_bootstraps_xy(
-                        w, min(wl, wr), pb) * batch
-                else:
-                    self.gate_count += (
-                        fz.MUL_BOOTSTRAPS[fz.mul_mode()](w, pb) * batch
-                    )
+                if count_gates:
+                    if fz.mul_mode() == "csa":
+                        self.gate_count += fz._csa_bootstraps_xy(
+                            w, min(wl, wr), pb) * batch
+                    else:
+                        self.gate_count += (
+                            fz.MUL_BOOTSTRAPS[fz.mul_mode()](w, pb)
+                            * batch
+                        )
             elif op in (OP_ADD, OP_SUB):
-                self.gate_count += pb * w * batch
+                if count_gates:
+                    self.gate_count += pb * w * batch
             else:
                 raise ValueError(f"bad op {op}")
             swap, comp = _sign_plan(op, combined)
@@ -488,18 +513,36 @@ class CloudEvaluator:
             comps.append(jnp.asarray(comp))
             step_codes.append(answer_codes)
             step_w.append(ow)
+        return plan, swaps, comps, answer_codes, combined, step_w
 
-        result = _chain_exec(
+    def chain_memory_analysis(self, steps: list, operands: list):
+        """AOT-compile the whole-chain program (NO execution) and
+        return XLA's device-memory accounting — the HBM audit for
+        shapes that fault the tunneled worker when run (VERDICT r4
+        #6).  Returns a dict of byte sizes."""
+        from ieache_tpu.circuits import fused as fz
+
+        plan, swaps, comps, _codes, _comb, _w = self._plan_steps(
+            steps, operands, count_gates=False
+        )
+        lowered = _chain_exec.lower(
             self.dck,
             tuple(o.value for o in operands),
             tuple(swaps), tuple(comps), tuple(plan),
             fz.adder_mode(), fz.mul_mode(),
         )
-        final_op = steps[-1][0]
-        return self._finish_answer(
-            final_op, max(plan[-1][1], plan[-1][2]), step_w[-1],
-            answer_codes, combined, result, operands[0].carry_word,
+        compiled = lowered.compile()
+        ma = compiled.memory_analysis()
+        out = {}
+        for field in ("temp_size_in_bytes", "argument_size_in_bytes",
+                      "output_size_in_bytes", "alias_size_in_bytes",
+                      "generated_code_size_in_bytes"):
+            out[field] = int(getattr(ma, field, -1))
+        out["peak_bytes_estimate"] = (
+            out["temp_size_in_bytes"] + out["argument_size_in_bytes"]
+            + out["output_size_in_bytes"]
         )
+        return out
 
 
 def decrypt_answer(

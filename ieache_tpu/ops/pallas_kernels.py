@@ -463,12 +463,12 @@ def _blind_rotate_scan_kernel(acc0_ref, bara_ref, bk_ref, out_ref,
             dscratch[row] = d
 
         _rotate_decompose_into(
-            ascratch[...], bara_ref[...].T, write,
+            ascratch[...], bara_ref[0].T, write,
             n=n, log2_2n=log2_2n, bg_bit=bg_bit, l=l, offset=offset,
             kp1=kp1,
         )
 
-    g = bk_ref[0, 0, 0, :][None, :]                # (1, N) int32
+    g = bk_ref[0, 0, 0, 0, :][None, :]             # (1, N) int32
     e = jnp.concatenate([-g, g], axis=1) + jnp.int32(_LIMB_BIAS)
     d = dscratch[pl.ds(p, 1)][0]                   # (bb, N) int8
 
@@ -545,9 +545,13 @@ def blind_rotate_scan_pallas(acc_t: jnp.ndarray, bara: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((kp1, b, n), lambda s, o, p: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b), lambda s, o, p: (s, 0),
+            # trailing singleton axes keep the last two block dims
+            # equal to the array dims (the Mosaic (8, 128) block rule
+            # — hardware-enforced only, CLAUDE.md)
+            pl.BlockSpec((1, 1, b), lambda s, o, p: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, n), lambda s, o, p: (s, p, o, 0),
+            pl.BlockSpec((1, 1, 1, 1, n),
+                         lambda s, o, p: (s, p, o, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, b, n), lambda s, o, p: (o, 0, 0),
@@ -559,7 +563,7 @@ def blind_rotate_scan_pallas(acc_t: jnp.ndarray, bara: jnp.ndarray,
             pltpu.VMEM((chunk, 2 * n), jnp.int32),
         ],
         interpret=interpret,
-    )(acc_t, bara.T, bk)
+    )(acc_t, bara.T[:, None, :], bk[:, :, :, None, :])
 
 
 def _rotate_decompose_into(x0, amt, write, *, n: int, log2_2n: int,

@@ -181,6 +181,30 @@ def main():
             wants += want
         return gots, wants
 
+    # EB_COMPILE_ONLY=1: AOT-compile the chain and print XLA's HBM
+    # accounting WITHOUT executing — the safe audit for shapes that
+    # fault the tunneled worker when run (A*B*C at B=256 single-pass,
+    # CLAUDE.md / VERDICT r4 #6)
+    if os.environ.get("EB_COMPILE_ONLY") == "1":
+        lo_, hi_ = (0, chunk) if chunk else (0, batch)
+        ai, bi, ci = (_slice_op(x, lo_, hi_) for x in (a, b, c))
+        ops_steps = (
+            [(op, ("opnd", 0) if k == 0 else ("step", k - 1),
+              ("opnd", k + 1)) for k, op in enumerate(fold_ops)]
+            if fold_ops is not None else step_list
+        )
+        t0 = time.time()
+        ma = cloud.chain_memory_analysis(ops_steps, [ai, bi, ci])
+        print(json.dumps({
+            "metric": "chain_memory_analysis",
+            "expr": disp, "batch": hi_ - lo_, "width": width,
+            "params": p.name, "device": str(jax.devices()[0]),
+            "compile_s": round(time.time() - t0, 1),
+            **ma,
+            "temp_gb": round(ma["temp_size_in_bytes"] / 2**30, 3),
+        }))
+        return
+
     # cold pass (includes jit compiles), then a warm pass = the
     # steady-state serving rate
     t0 = time.time()
