@@ -1004,8 +1004,8 @@ def _ext_product_tr_kernel(d_ref, bkrev_ref, acc_ref, out_ref,
 
     if impl == "probe_nodot":
         # token dependency so the build+extract is not dead code
-        out_ref[0, 0:1, :] += pscratch[0, 0:1, 0:d.shape[1]
-                                       ].astype(jnp.int32)
+        # ((1, 1) broadcasts over the (1, bb) out row)
+        out_ref[0, 0:1, :] += pscratch[0, 0:1, 0:1].astype(jnp.int32)
         return
 
     for c in range(n // chunk):
