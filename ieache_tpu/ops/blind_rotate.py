@@ -490,13 +490,14 @@ def blind_rotate(
                 stacklevel=2,
             )
             step_mode = "split"
-        if step_mode == "scan" and acc0.shape[0] > 512:
+        if step_mode == "scan" and acc0.shape[0] > 256:
             import warnings
 
             warnings.warn(
-                f"IEACHE_PALLAS_STEP=scan caps the batch at 512 "
-                f"(VMEM-resident accumulator); got {acc0.shape[0]} — "
-                "falling back to 'split'",
+                f"IEACHE_PALLAS_STEP=scan caps the batch at 256 "
+                f"(VMEM-resident accumulator; 512 AOT-OOMs scoped "
+                f"vmem, artifacts/r5/step_scan_b512.json); got "
+                f"{acc0.shape[0]} — falling back to 'split'",
                 stacklevel=2,
             )
             step_mode = "split"

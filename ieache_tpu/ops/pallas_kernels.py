@@ -522,9 +522,12 @@ def blind_rotate_scan_pallas(acc_t: jnp.ndarray, bara: jnp.ndarray,
     steps = bara.shape[1]
     if b % 8:
         raise ValueError(f"batch {b} must be a multiple of 8")
-    if b > 512:
+    if b > 256:
+        # B=512 AOT-OOMs scoped vmem at 19.66M > 16M (the resident
+        # (kp1, B, N) acc + digits + Toeplitz scratch; r5 hw log
+        # artifacts/r5/step_scan_b512.json) — 256 compiles and runs
         raise ValueError(
-            f"scan kernel caps the batch at 512 (VMEM-resident acc); "
+            f"scan kernel caps the batch at 256 (VMEM-resident acc); "
             f"got {b} — use the split pipeline"
         )
 
