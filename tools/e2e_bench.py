@@ -242,7 +242,12 @@ def main():
         def spans(name, src):
             return [s["seconds"] for s in src if s["name"] == name]
 
-        uip = spans("user_input_processing", out.trace.spans)
+        uip_all = spans("user_input_processing", out.trace.spans)
+        # the first submission waits on the cloud process still
+        # binding its job server after the 66 MB key unpack; the
+        # reference's 6.90 s row is a steady-state mean — use the
+        # non-first submissions (all spans stay in output_spans)
+        uip = uip_all[1:] or uip_all
         dreq = [s["seconds"] for s in cloud_spans
                 if s["name"] == "data_request"]
         comp = {
