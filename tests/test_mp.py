@@ -406,3 +406,21 @@ def test_keypair_transfer_at_reference_chunk_size():
     assert got_k == blob_k and got_n == blob_n
     a.close()
     b.close()
+
+
+def test_sae_handshake_pure_python_fallback():
+    """The pure-Python EC path (IEACHE_NATIVE_EC=0) still completes a
+    full SAE handshake and derives matching PMKs — the fallback for
+    hosts without a C toolchain stays alive."""
+    import os
+
+    saved = os.environ.get("IEACHE_NATIVE_EC")
+    os.environ["IEACHE_NATIVE_EC"] = "0"
+    try:
+        a, b = dragonfly.handshake_pair()
+        assert a.pmk == b.pmk and len(a.pmk) == 32
+    finally:
+        if saved is None:
+            os.environ.pop("IEACHE_NATIVE_EC", None)
+        else:
+            os.environ["IEACHE_NATIVE_EC"] = saved
