@@ -335,3 +335,27 @@ def test_mul_mul_chain_asymmetric_widths():
     want_gates = (fz._csa_bootstraps_xy(4, 4, pb)
                   + fz._csa_bootstraps_xy(8, 4, pb)) * 2
     assert cloud.gate_count - g0 == want_gates
+
+
+def test_chain_memory_analysis_reports_xla_accounting():
+    """The AOT memory audit (VERDICT r4 #6's safe probe for
+    worker-faulting shapes) lowers+compiles WITHOUT executing and
+    returns XLA's byte accounting."""
+    p = P.TEST_TINY
+    pair = keygen.generate_gate_keypair(p)
+    dck = B.pack_cloud_key(pair.main.cloud)
+    s = prng.key_from_seed_words([0xAD])
+    ops = [
+        ev.encrypt_operand(pair.main, pair.nbit, [3, 5], 8,
+                           prng.derive(s, i))
+        for i in range(3)
+    ]
+    cloud = ev.CloudEvaluator(dck, pair.nbit)
+    steps = [(ev.OP_MUL, ("opnd", 0), ("opnd", 1)),
+             (ev.OP_SUB, ("step", 0), ("opnd", 2))]
+    before = cloud.gate_count
+    ma = cloud.chain_memory_analysis(steps, ops)
+    assert cloud.gate_count == before      # audit never counts gates
+    assert ma["temp_size_in_bytes"] > 0
+    assert ma["argument_size_in_bytes"] > 0
+    assert ma["peak_bytes_estimate"] >= ma["temp_size_in_bytes"]
