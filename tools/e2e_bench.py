@@ -250,11 +250,6 @@ def main():
         uip = uip_all[1:] or uip_all
         dreq = [s["seconds"] for s in cloud_spans
                 if s["name"] == "data_request"]
-        comp = {
-            (s.get("ops"), i): s["seconds"]
-            for i, s in enumerate(cloud_spans)
-            if s["name"].startswith("compute")
-        }
         rows = {}
         rows["key_exchange"] = {
             "ours_s": round(t_keyx, 3),
@@ -275,16 +270,13 @@ def main():
                 "ref_s": REF["data_request_s"],
                 "speedup": round(REF["data_request_s"] / m, 1),
             }
-        comp_list = [s for s in cloud_spans
-                     if s["name"].startswith("compute")]
         for postfix in exprs:
             warm = [r for r in runs
                     if r["postfix"] == postfix and r["attempt"] == "warm"]
             ref_s = REF["compute_s"].get(postfix)
             if warm and ref_s:
                 # warm total includes operand pulls + compute + answer;
-                # the compute-only span is the Fig.7 analog
-                idx = [i for i, s in enumerate(comp_list)]
+                # the per-phase compute spans are in cloud_spans
                 rows[f"compute_total_warm[{postfix}]"] = {
                     "ours_s": warm[0]["total_s"], "ref_s": ref_s,
                     "speedup": round(ref_s / warm[0]["total_s"], 1),
