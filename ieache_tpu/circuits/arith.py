@@ -185,14 +185,29 @@ def kogge_stone_add(x, y, key: DeviceCloudKey, carry_in=None):
         [gates.CONSTANT(jnp.zeros((b, 1), jnp.int32), n), p0], axis=1
     )
 
-    # combine levels: g' = g | (p & g_shift), p' = p & p_shift
+    # combine levels: g' = g | (p & g_shift), p' = p & p_shift.
+    # The two ANDs (t = p & g_shift, p' = p & p_shift) are mutually
+    # independent, so they run as ONE bootstrap wave; only the OR
+    # depends on t — 2 serial waves per level instead of 3 (r5: at
+    # B=8 the expression latency is wave-count-bound, and this cut is
+    # pure scheduling — same gates, bit-identical results).
+    op_and = gates.GATE_OPCODES["AND"]
     we = w + 1
     dist = 1
     while dist < we:
         span = we - dist
-        t = gates.AND(_flat(p[:, dist:, :]), _flat(g[:, :span, :]), key)
+        p_shift = _flat(p[:, dist:, :])
+        ops_l = jnp.full((2 * b * span,), op_and, jnp.int32)
+        both = gates.apply_gate_batch(
+            ops_l,
+            jnp.concatenate([p_shift, p_shift], 0),
+            jnp.concatenate(
+                [_flat(g[:, :span, :]), _flat(p[:, :span, :])], 0
+            ),
+            key,
+        )
+        t, p_hi = both[: b * span], both[b * span:]
         g_hi = gates.OR(_flat(g[:, dist:, :]), t, key)
-        p_hi = gates.AND(_flat(p[:, dist:, :]), _flat(p[:, :span, :]), key)
         g = jnp.concatenate([g[:, :dist, :], _unflat(g_hi, b, span)], 1)
         p = jnp.concatenate([p[:, :dist, :], _unflat(p_hi, b, span)], 1)
         dist *= 2

@@ -218,7 +218,15 @@ def _chain_exec(dck, vals, swaps, comps, plan, amode, mmode):
             y = jnp.where(sw, x, bv)
             y = jnp.where(cm, arith.not_word(y), y)
             ci = gates.CONSTANT(comps[k].astype(jnp.int32), n)
-            cur, _ = fz.ripple_add(a_, y, ci, dck, amode)
+            if amode == "kogge":
+                # parallel-prefix adder: O(log W) serial waves — the
+                # small-batch latency adder (r5: the chain path never
+                # honored the evaluator's kogge_stone selection before,
+                # so the r4 'KS is neutral' comparison measured the
+                # ripple path twice)
+                cur, _ = fz.kogge_stone_add(a_, y, dck, ci)
+            else:
+                cur, _ = fz.ripple_add(a_, y, ci, dck, amode)
         outs.append(cur)
     return outs[-1]
 
@@ -438,11 +446,13 @@ class CloudEvaluator:
 
         plan, swaps, comps, answer_codes, combined, step_w = \
             self._plan_steps(steps, operands)
+        amode = ("kogge" if self.adder == "kogge_stone"
+                 else fz.adder_mode())
         result = _chain_exec(
             self.dck,
             tuple(o.value for o in operands),
             tuple(swaps), tuple(comps), tuple(plan),
-            fz.adder_mode(), fz.mul_mode(),
+            amode, fz.mul_mode(),
         )
         final_op = steps[-1][0]
         return self._finish_answer(
@@ -466,6 +476,7 @@ class CloudEvaluator:
         ]
         batch = operands[0].batch
         pb = fz.ADDER_BOOTSTRAPS_PER_BIT[fz.adder_mode()]
+        use_kogge = self.adder == "kogge_stone"
 
         step_codes, step_w = [], []
 
@@ -504,7 +515,15 @@ class CloudEvaluator:
                         )
             elif op in (OP_ADD, OP_SUB):
                 if count_gates:
-                    self.gate_count += pb * w * batch
+                    if use_kogge:
+                        # exact parallel-prefix count (mirrors _add)
+                        count, we, dist = 3 * w, w + 1, 1
+                        while dist < we:
+                            count += 3 * (we - dist)
+                            dist *= 2
+                        self.gate_count += count * batch
+                    else:
+                        self.gate_count += pb * w * batch
             else:
                 raise ValueError(f"bad op {op}")
             swap, comp = _sign_plan(op, combined)
@@ -525,11 +544,13 @@ class CloudEvaluator:
         plan, swaps, comps, _codes, _comb, _w = self._plan_steps(
             steps, operands, count_gates=False
         )
+        amode = ("kogge" if self.adder == "kogge_stone"
+                 else fz.adder_mode())
         lowered = _chain_exec.lower(
             self.dck,
             tuple(o.value for o in operands),
             tuple(swaps), tuple(comps), tuple(plan),
-            fz.adder_mode(), fz.mul_mode(),
+            amode, fz.mul_mode(),
         )
         compiled = lowered.compile()
         ma = compiled.memory_analysis()

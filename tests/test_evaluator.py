@@ -359,3 +359,32 @@ def test_chain_memory_analysis_reports_xla_accounting():
     assert ma["temp_size_in_bytes"] > 0
     assert ma["argument_size_in_bytes"] > 0
     assert ma["peak_bytes_estimate"] >= ma["temp_size_in_bytes"]
+
+
+def test_chain_honors_kogge_stone_adder():
+    """The whole-chain executor runs the parallel-prefix adder when the
+    evaluator selects kogge_stone (r5 fix: the chain previously ran
+    ripple regardless, invalidating adder comparisons) — results match
+    ripple bit-for-bit at the plaintext level and the gate count is the
+    exact KS count, not the ripple count."""
+    p = P.TEST_TINY
+    pair = keygen.generate_gate_keypair(p)
+    dck = B.pack_cloud_key(pair.main.cloud)
+    s = prng.key_from_seed_words([0xAC])
+    rng = np.random.RandomState(5)
+    av, bv, cv = (rng.randint(1, 60, 4) for _ in range(3))
+    ops = [
+        ev.encrypt_operand(pair.main, pair.nbit, v, 8, prng.derive(s, i))
+        for i, v in enumerate((av, bv, cv))
+    ]
+    want = [int(x) + int(y) - int(z) for x, y, z in zip(av, bv, cv)]
+    counts = {}
+    for adder in ("ripple", "kogge_stone"):
+        cloud = ev.CloudEvaluator(dck, pair.nbit, adder=adder)
+        ans, _ = cloud.compute_chain([ev.OP_ADD, ev.OP_SUB], ops)
+        got = ev.decrypt_answer(pair.main, pair.nbit, ans, ev.OP_SUB)
+        assert got == want, adder
+        counts[adder] = cloud.gate_count
+    # exact per-lane KS count at W=8: 3*8 + 3*(8+7+5+1) = 87 per op
+    assert counts["kogge_stone"] == 87 * 2 * 4
+    assert counts["ripple"] == 2 * 8 * 2 * 4  # maj2: 2 boots/bit
