@@ -411,7 +411,7 @@ def cmd_serve(args):
         while True:
             _t.sleep(3600)
     else:  # cloud
-        node = nodes.CloudNode(cfg=cfg)
+        node = nodes.CloudNode(cfg=cfg, adder=args.adder)
         node.receive_keys(addr(args.keygen_addr, 4380))
         node.start_job_server(args.bind, port)
         print(f"cloud serving on {args.bind}:{port}", flush=True)
@@ -538,6 +538,11 @@ def build_parser():
                    help="cloud: emit 'SPAN {json}' lines for each "
                         "trace span (the timings.txt hook for "
                         "harness-side collection)")
+    p.add_argument("--adder", default="ripple",
+                   choices=["ripple", "kogge_stone"],
+                   help="cloud: adder circuit — kogge_stone halves "
+                        "small-batch expression latency (r5), ripple "
+                        "minimizes bootstraps for batched throughput")
     p.add_argument("--expect-peers", type=int, default=4,
                    help="keygen: peers to serve before 'finished'")
     p.add_argument("--clients", default="",
