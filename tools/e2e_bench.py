@@ -132,6 +132,7 @@ def main():
     procs, logs = [], []
     result = {"probe": "e2e_lambda110", "params": pname,
               "batch": batch, "width": width,
+              "adder": os.environ.get("E2E_ADDER", "ripple"),
               "cloud_backend": "cpu" if force_cpu else "tpu",
               "mode": "six OS processes over loopback sockets",
               "values": vals, "reference": REF}
@@ -162,7 +163,9 @@ def main():
         cloud_pr, lf = spawn(
             ["--role", "cloud", "--keygen-addr", kaddr,
              "--bind", "127.0.0.1", "--port", str(pcl),
-             "--print-spans"], cloud_env, "cloud")
+             "--print-spans",
+             "--adder", os.environ.get("E2E_ADDER", "ripple")],
+            cloud_env, "cloud")
         procs.append(cloud_pr)
         logs.append(lf)
 
