@@ -161,19 +161,56 @@ def _sign_plan(op: int, combined: np.ndarray):
     return swap, ~mag
 
 
-def _take_width(val: jnp.ndarray, width: int, n: int) -> jnp.ndarray:
-    """Slice a value word to `width` bits, zero-extending with trivial
-    LWE(0) rows if it stores fewer (a chained answer keeps only
-    out_width bits in memory; the reference's answers are padded to 8
-    slots on disk, `cloud.c:899-916`, so its chained operands are
-    always wide enough — ours must extend explicitly)."""
+def _take_width(val: jnp.ndarray, width: int, n: int,
+                signed: bool = False) -> jnp.ndarray:
+    """Slice a value word to `width` bits, extending if it stores
+    fewer: trivial LWE(0) rows for magnitudes (a chained answer keeps
+    only out_width bits in memory; the reference's answers are padded
+    to 8 slots on disk, `cloud.c:899-916`, so its chained operands are
+    always wide enough — ours must extend explicitly), or copies of
+    the top bit for two's-complement intermediates (sign extension is
+    free: ciphertext rows replicate)."""
     have = val.shape[1]
     if have >= width:
         return val[:, :width, :]
-    pad = gates.CONSTANT(
-        jnp.zeros((val.shape[0], width - have), jnp.int32), n
-    )
+    if signed:
+        pad = jnp.broadcast_to(
+            val[:, have - 1:have, :],
+            (val.shape[0], width - have, val.shape[2]),
+        )
+    else:
+        pad = gates.CONSTANT(
+            jnp.zeros((val.shape[0], width - have), jnp.int32), n
+        )
     return jnp.concatenate([val, pad], axis=1)
+
+
+def _csa3_fusable(plan) -> bool:
+    """True when the plan is the pure-add 3-operand left fold
+    ``(o0 ± o1) ± o2`` with equal step widths — the shape the fused
+    carry-free 3:2 compression + single parallel-prefix add serves
+    (the A+B+C / A+B-C / A-B-C Fig.7 expressions).  Equal widths are
+    required because the serial chain truncates mod 2^w after step 1;
+    with w1 == w2 the single mod-2^w reduction is identical."""
+    if len(plan) != 2:
+        return False
+    (op1, wl1, wr1, ow1, lhs1, rhs1) = plan[0][:6]
+    (op2, wl2, wr2, ow2, lhs2, rhs2) = plan[1][:6]
+    return (
+        op1 in (OP_ADD, OP_SUB) and op2 in (OP_ADD, OP_SUB)
+        and lhs1 == ("opnd", 0) and rhs1 == ("opnd", 1)
+        and lhs2 == ("step", 0) and rhs2 == ("opnd", 2)
+        and ow1 == ow2
+    )
+
+
+def _kogge_count(w: int) -> int:
+    """Exact bootstraps per lane of one W-bit parallel-prefix add."""
+    count, we, dist = 3 * w, w + 1, 1
+    while dist < we:
+        count += 3 * (we - dist)
+        dist *= 2
+    return count
 
 
 @functools.partial(jax.jit, static_argnames=("plan", "amode", "mmode"))
@@ -189,13 +226,55 @@ def _chain_exec(dck, vals, swaps, comps, plan, amode, mmode):
     from ieache_tpu.circuits import fused as fz
 
     n = dck.params.n
+
+    if amode == "kogge" and _csa3_fusable(plan):
+        # fused 3-term add: one carry-free 3:2 compression + ONE
+        # parallel-prefix add (~14 serial waves at W=16 vs 24 for the
+        # chained pair) — the r5 latency path.  Per-lane sign dataflow
+        # folds into complement flags + a cleartext carry constant
+        # K ∈ {0..2}: step 1 computes p1 + (q1 ~ cm1) + cm1 with
+        # (p1, q1) = sw1-selected (a, b); step 2 either adds c (maybe
+        # complemented) or computes c − s1 = c + ~p1 + (q1 ~ ¬cm1)
+        # + (2 − cm1).
+        w = plan[1][3]
+        a3 = _take_width(vals[0], w, n)
+        b3 = _take_width(vals[1], w, n)
+        c3 = _take_width(vals[2], w, n)
+        sw1 = swaps[0].astype(jnp.int32)
+        cm1 = comps[0].astype(jnp.int32)
+        sw2 = swaps[1].astype(jnp.int32)
+        cm2 = comps[1].astype(jnp.int32)
+        p1 = jnp.where(sw1[:, None, None] == 1, b3, a3)
+        q1 = jnp.where(sw1[:, None, None] == 1, a3, b3)
+        n_p = sw2 * cm2
+        n_q = cm1 ^ n_p
+        n_c = (1 - sw2) * cm2
+        k_const = jnp.where(
+            sw2 == 0, cm1 + cm2,
+            jnp.where(cm2 == 0, cm1, 2 - cm1),
+        )
+        pw = jnp.where(n_p[:, None, None] == 1,
+                       arith.not_word(p1), p1)
+        qw = jnp.where(n_q[:, None, None] == 1,
+                       arith.not_word(q1), q1)
+        cw_ = jnp.where(n_c[:, None, None] == 1,
+                        arith.not_word(c3), c3)
+        out3, _ = fz.csa3_add(
+            pw, qw, cw_,
+            (k_const >= 1).astype(jnp.int32),
+            (k_const >= 2).astype(jnp.int32), dck,
+        )
+        return out3
+
     outs = []
 
     def val_of(ref):
         kind, i = ref
         return vals[i] if kind == "opnd" else outs[i]
 
-    for k, (op, wl, wr, ow, lhs, rhs) in enumerate(plan):
+    for k, step in enumerate(plan):
+        (op, wl, wr, ow, lhs, rhs) = step[:6]
+        kl, kr = step[6] if len(step) > 6 else ("coded", "coded")
         if op == OP_MUL and mmode == "csa":
             # width-asymmetric multiply: each side at its true width,
             # rounds over the narrower operand
@@ -207,8 +286,8 @@ def _chain_exec(dck, vals, swaps, comps, plan, amode, mmode):
             outs.append(cur)
             continue
         w = max(wl, wr)
-        x = _take_width(val_of(lhs), w, n)
-        bv = _take_width(val_of(rhs), w, n)
+        x = _take_width(val_of(lhs), w, n, signed=(kl == "twos"))
+        bv = _take_width(val_of(rhs), w, n, signed=(kr == "twos"))
         if op == OP_MUL:
             cur = fz.schoolbook_mul_fused(x, bv, dck)
         else:
@@ -478,29 +557,65 @@ class CloudEvaluator:
         pb = fz.ADDER_BOOTSTRAPS_PER_BIT[fz.adder_mode()]
         use_kogge = self.adder == "kogge_stone"
 
-        step_codes, step_w = [], []
+        # Side descriptors (r5 chained-sign redesign): operands and
+        # MUL results are ("coded", code_vec) — a magnitude plus the
+        # reference's negativity code; ADD/SUB intermediates are
+        # ("twos", negflag_vec, pure_vec) — raw two's-complement bits
+        # whose lane value is (-1)^negflag * signed(bits), with `pure`
+        # marking lanes whose bits are a provable magnitude sum (no
+        # complement ever applied).  The previous scheme predicted a
+        # sign CODE for every intermediate, but the sign of e.g.
+        # (pos - pos) depends on the VALUES the evaluator cannot see —
+        # downstream dataflow then misread the two's-complement bits
+        # as a magnitude (the reference shares this flaw: its chained
+        # answers re-import predicted codes, `cloud.c:798-827`, and
+        # verif patches display-time sign heuristically,
+        # `verif.c:132-166`).  Two's-complement intermediates carry no
+        # sign claim at all, so every lane is exact; the per-lane
+        # negflag folds into the NEXT step's complement flag (keeping
+        # the cleartext carry <= 1 per add) and into the final answer
+        # code (4/5 = negated magnitude / negated two's complement).
+        step_kind, step_w = [], []
 
-        def code_of(ref):
-            return (negs[ref[1]] if ref[0] == "opnd"
-                    else step_codes[ref[1]])
+        def side_of(ref):
+            if ref[0] == "opnd":
+                return ("coded", negs[ref[1]], None)
+            return step_kind[ref[1]]
 
         def w_of(ref):
             return (bitws[ref[1]] if ref[0] == "opnd"
                     else step_w[ref[1]])
 
+        zeros = np.zeros(batch, np.int64)
         plan, swaps, comps = [], [], []
         answer_codes = combined = None
+        final_is_addsub = False
         for op, lhs, rhs in steps:
             if op == 3:  # 3 and 4 both mean multiply (see compute())
                 op = OP_MUL
-            n1 = _normalized_neg(code_of(lhs))
-            n2 = _normalized_neg(code_of(rhs))
-            combined = n1 + 2 * n2
-            answer_codes = np.array([0, 1, 2, 4])[combined]
             wl, wr = w_of(lhs), w_of(rhs)
             w = max(wl, wr)
             ow = w
             if op == OP_MUL:
+                kl = side_of(lhs)
+                kr = side_of(rhs)
+
+                def _mul_code(side):
+                    # the schoolbook multiplier consumes magnitudes; a
+                    # two's-complement intermediate is taken at its
+                    # negflag sign (exact when the lane's running sign
+                    # is tracked — magnitude-mode lanes; lanes whose
+                    # true sign depends on the values stay heuristic,
+                    # matching the reference's chained-answer re-import
+                    # of predicted codes, cloud.c:798-827)
+                    if side[0] == "coded":
+                        return _normalized_neg(side[1])
+                    return side[1].astype(np.int64)
+
+                n1 = _mul_code(kl)
+                n2 = _mul_code(kr)
+                combined = n1 + 2 * n2
+                answer_codes = np.array([0, 1, 2, 4])[combined]
                 if w >= 256:
                     raise MulWidthError("Cannot multiply 256 bit number!")
                 ow = 2 * w
@@ -513,25 +628,72 @@ class CloudEvaluator:
                             fz.MUL_BOOTSTRAPS[fz.mul_mode()](w, pb)
                             * batch
                         )
+                swap, comp = zeros.astype(bool), zeros.astype(bool)
+                kinds = ("coded", "coded")
+                step_kind.append(("coded", answer_codes, None))
+                final_is_addsub = False
             elif op in (OP_ADD, OP_SUB):
+                kl = side_of(lhs)
+                kr = side_of(rhs)
+                opneg = 1 if op == OP_SUB else 0
+                # lhs term: coded magnitude (el = its sign) or twos
+                # bits (never complemented; negflag folds forward)
+                if kl[0] == "coded":
+                    el = _normalized_neg(kl[1])
+                    fl = zeros
+                    pl = np.ones(batch, np.int64)
+                else:
+                    el = zeros
+                    fl = kl[1]
+                    pl = kl[2]
+                # rhs effective sign: code (or rhs negflag), the op,
+                # and the lhs negflag all fold in; complementing works
+                # for magnitudes and twos bits alike (~y + 1 == -y)
+                er0 = (_normalized_neg(kr[1]) if kr[0] == "coded"
+                       else kr[1])
+                pr = (np.ones(batch, np.int64) if kr[0] == "coded"
+                      else kr[2])
+                er = er0 ^ opneg ^ fl
+                # lanes whose lhs term is itself negative: negate the
+                # whole lane instead (keeps the lhs uncomplemented and
+                # the cleartext carry at <= 1)
+                negf = (fl ^ el).astype(np.int64)
+                er = er ^ el
+                comp = er.astype(bool)
+                swap = zeros.astype(bool)
+                pure = (pl & pr & (1 - er)).astype(np.int64)
                 if count_gates:
                     if use_kogge:
-                        # exact parallel-prefix count (mirrors _add)
-                        count, we, dist = 3 * w, w + 1, 1
-                        while dist < we:
-                            count += 3 * (we - dist)
-                            dist *= 2
-                        self.gate_count += count * batch
+                        self.gate_count += _kogge_count(w) * batch
                     else:
                         self.gate_count += pb * w * batch
+                step_kind.append(("twos", negf, pure))
+                # final answer code per lane (decrypt_answer tables):
+                #   f=0 pure   -> plain     (ADD: 0, SUB: 2)
+                #   f=0 impure -> signed    (ADD: 1, SUB: 0)
+                #   f=1 pure   -> -plain    (ADD: 4, SUB: 1)
+                #   f=1 impure -> -signed   (code 5, both)
+                if op == OP_ADD:
+                    tbl = np.array([0, 1, 4, 5])
+                else:
+                    tbl = np.array([2, 0, 1, 5])
+                sel = 2 * negf + (1 - pure)
+                answer_codes = tbl[sel]
+                combined = el + 2 * er0  # effective signs (info only)
+                kinds = (kl[0], kr[0])
+                final_is_addsub = True
             else:
                 raise ValueError(f"bad op {op}")
-            swap, comp = _sign_plan(op, combined)
-            plan.append((op, wl, wr, ow, lhs, rhs))
+            plan.append((op, wl, wr, ow, lhs, rhs, kinds))
             swaps.append(jnp.asarray(swap))
             comps.append(jnp.asarray(comp))
-            step_codes.append(answer_codes)
             step_w.append(ow)
+        del final_is_addsub  # (documentational; codes already final)
+        if count_gates and use_kogge and _csa3_fusable(tuple(plan)):
+            # the fused 3-term path replaces the two chained prefix
+            # adds with 3w compression bootstraps + ONE prefix add
+            w = plan[1][3]
+            self.gate_count += (3 * w - _kogge_count(w)) * batch
         return plan, swaps, comps, answer_codes, combined, step_w
 
     def chain_memory_analysis(self, steps: list, operands: list):
@@ -576,7 +738,11 @@ def decrypt_answer(
       add : 0 -> +mag ; 1,2 -> two's complement ; 4 -> -mag
       sub : 0,4 -> two's complement ; 1 -> -mag ; 2 -> +mag
       mul : 0,4 -> +mag ; 1,2 -> -mag
-    (`verif.c:132-173,1424-1429` sign fix-up rules.)
+    (`verif.c:132-173,1424-1429` sign fix-up rules.)  Code 5 is a
+    framework extension beyond the reference's vocabulary: NEGATED
+    two's complement, emitted by the r5 chained-sign redesign for
+    lanes whose whole-lane negation folded into the final code (the
+    reference never emits it; its verif would need the same rule).
     """
     if op == 3:  # 3 and 4 both mean multiply (see CloudEvaluator.compute)
         op = OP_MUL
@@ -594,10 +760,13 @@ def decrypt_answer(
     def neg(v, w):
         return -v
 
+    def neg_signed(v, w):
+        return -signed(v, w)
+
     if op == OP_ADD:
-        table = {0: plain, 1: signed, 2: signed, 4: neg}
+        table = {0: plain, 1: signed, 2: signed, 4: neg, 5: neg_signed}
     elif op == OP_SUB:
-        table = {0: signed, 4: signed, 1: neg, 2: plain}
+        table = {0: signed, 4: signed, 1: neg, 2: plain, 5: neg_signed}
     elif op == OP_MUL:
         table = {0: plain, 4: plain, 1: neg, 2: neg}
     else:

@@ -141,6 +141,55 @@ def kogge_stone_add(x, y, key: DeviceCloudKey, carry_in):
     return arith.kogge_stone_add(x, y, key, carry_in=carry_in)
 
 
+def csa3_add(a, b, c, u, v, key: DeviceCloudKey):
+    """Fused three-term addition ``(a + b + c + k0 + 2·k1) mod 2^W``
+    in 2 + depth(KS) bootstrap waves — the r5 latency path for the
+    reference's pure-add Fig.7 expressions (A±B±C as ONE carry-free
+    3:2 compression + ONE parallel-prefix add, ~14 serial waves at
+    W=16 vs 24 for two chained adds).
+
+    The compression is bit-parallel (no carry chain): per bit,
+    ``a+b+c = s + 2·maj`` with s the 3-input parity (two XOR waves,
+    the first batched with the majority wave) and maj the existing
+    maj2 trick (``sign(a+b+c)`` — same gate family and noise as the
+    shipped maj2 adder, no margin change).  The cleartext carry
+    constant K in {0..2} from the per-lane sign dataflow rides in as
+    TWO unit carries u + v = K ((K>=1), (K>=2)): u in the final
+    adder's carry-in, v in the freed (weight-1) bit-0 slot of the
+    shifted majority word — both slots add 1, so the sum gains
+    exactly K.
+
+    a, b, c: (B, W, n+1) bit words; u, v: (B,) cleartext 0/1.
+    """
+    bsz, w, m = a.shape
+    n = key.params.n
+
+    # wave 1: xab = XOR(a, b) batched with maj = MAJ(a, b, c)
+    pre_xor = 2 * a + 2 * b
+    pre_xor = pre_xor.at[:, :, n].add(jnp.int32(2 * MU))
+    pre_maj = a + b + c
+    both = _bootstrap_raw(
+        jnp.concatenate([pre_xor, pre_maj], 0).reshape(2 * bsz * w, m),
+        key,
+    ).reshape(2 * bsz, w, m)
+    xab, maj = both[:bsz], both[bsz:]
+
+    # wave 2: s = XOR(xab, c)
+    pre_s = 2 * xab + 2 * c
+    pre_s = pre_s.at[:, :, n].add(jnp.int32(2 * MU))
+    s = _bootstrap_raw(pre_s.reshape(bsz * w, m), key).reshape(
+        bsz, w, m
+    )
+
+    # maj << 1 (mod 2^W truncation), bit 0 = trivial enc of v
+    vw = gates.CONSTANT(v.astype(jnp.int32)[:, None], n)
+    mword = jnp.concatenate([vw, maj[:, : w - 1, :]], axis=1)
+
+    cin = gates.CONSTANT(u.astype(jnp.int32), n)
+    out, carry = kogge_stone_add(s, mword, key, carry_in=cin)
+    return out, carry
+
+
 @jax.jit
 def twos_complement(x, key: DeviceCloudKey):
     b, w, _ = x.shape
