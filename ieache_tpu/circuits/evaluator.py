@@ -282,7 +282,8 @@ def _chain_exec(dck, vals, swaps, comps, plan, amode, mmode):
             bv = _take_width(val_of(rhs), wr, n)
             if wr > wl:
                 x, bv = bv, x
-            cur = fz.schoolbook_mul_csa(x, bv, dck)
+            cur = fz.schoolbook_mul_csa(x, bv, dck,
+                                        latency=(amode == "kogge"))
             outs.append(cur)
             continue
         w = max(wl, wr)
@@ -620,7 +621,13 @@ class CloudEvaluator:
                     raise MulWidthError("Cannot multiply 256 bit number!")
                 ow = 2 * w
                 if count_gates:
-                    if fz.mul_mode() == "csa":
+                    if fz.mul_mode() == "csa" and use_kogge:
+                        # latency mode: parallel-prefix final add
+                        mn = min(wl, wr)
+                        self.gate_count += (
+                            w * mn + 2 * mn * (w + 1) + _kogge_count(w)
+                        ) * batch
+                    elif fz.mul_mode() == "csa":
                         self.gate_count += fz._csa_bootstraps_xy(
                             w, min(wl, wr), pb) * batch
                     else:

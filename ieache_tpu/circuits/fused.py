@@ -271,8 +271,9 @@ def _place_partial(partial, shift_onehot, n):
     )
 
 
-@jax.jit
-def schoolbook_mul_csa(x, y, key: DeviceCloudKey):
+@functools.partial(jax.jit, static_argnames=("latency",))
+def schoolbook_mul_csa(x, y, key: DeviceCloudKey,
+                       latency: bool = False):
     """W x W -> 2W bit product via a *windowed* carry-save accumulator,
     one dispatch.
 
@@ -304,6 +305,7 @@ def schoolbook_mul_csa(x, y, key: DeviceCloudKey):
     tunneled worker; see CLAUDE.md live-memory limit).
     """
     b, w, m = x.shape
+    wy = y.shape[1]
     n = key.params.n
 
     zero_col = _like_vma(
@@ -313,11 +315,28 @@ def schoolbook_mul_csa(x, y, key: DeviceCloudKey):
         gates.CONSTANT(jnp.zeros((b, w + 1), jnp.int32), n), x
     )
     xf = x.reshape(b * w, m)
-    ys = jnp.moveaxis(y, 1, 0)                 # (W, B, n+1)
+    ys = jnp.moveaxis(y, 1, 0)                 # (Wy, B, n+1)
 
-    def round_step(carry, yi):
+    # latency mode (r5, amode=kogge): every partial product is
+    # independent of every round, so ALL Wy*Wx ANDs run as ONE
+    # upfront bootstrap wave (3 -> 2 serial waves per round); capped
+    # at 64k lanes so a misconfigured huge batch falls back to the
+    # per-round wave (same bootstrap COUNT either way)
+    pre_all = latency and (b * w * wy) <= 65536
+    if pre_all:
+        pre = (xf[None, :, :]
+               + jnp.repeat(ys, w, axis=1))    # (Wy, B*Wx, m)
+        pre = pre.at[:, :, n].add(jnp.int32(-MU))
+        partials = _bootstrap_raw(
+            pre.reshape(wy * b * w, m), key
+        ).reshape(wy, b, w, m)
+
+    def round_step(carry, xs_i):
         sw, cw = carry                         # (B, W+1, m) each
-        partial = _and_partial(xf, yi, w, key).reshape(b, w, m)
+        if pre_all:
+            partial = xs_i
+        else:
+            partial = _and_partial(xf, xs_i, w, key).reshape(b, w, m)
         p = jnp.concatenate([partial, zero_col], axis=1)
         tot = (sw + cw + p).reshape(b * (w + 1), m)  # {±3μ, ±μ}
         maj = _bootstrap_raw(tot, key)
@@ -329,15 +348,22 @@ def schoolbook_mul_csa(x, y, key: DeviceCloudKey):
         cw_new = maj.reshape(b, w + 1, m)
         return (sw_new, cw_new), out_bit
 
-    (sw, cw), low_bits = jax.lax.scan(round_step, (win0, win0), ys)
-    low = jnp.moveaxis(low_bits, 0, 1)         # (B, W, m): bits 0..W-1
+    (sw, cw), low_bits = jax.lax.scan(
+        round_step, (win0, win0), partials if pre_all else ys
+    )
+    low = jnp.moveaxis(low_bits, 0, 1)         # (B, Wy, m): bits 0..
     zero_bit = _like_vma(
         gates.CONSTANT(jnp.zeros((b,), jnp.int32), n), x
     )
-    # resolve the remaining window = absolute bits W..2W (top drops
-    # mod 2^2W)
-    hi, _ = _ripple_add_fused(sw[:, :w, :], cw[:, :w, :], zero_bit,
-                              key, adder_mode())
+    # resolve the remaining window = absolute bits Wy..Wy+Wx (top
+    # drops mod 2^(Wx+Wy)); latency mode uses the parallel-prefix
+    # adder (O(log W) waves vs the W-serial ripple)
+    if latency:
+        hi, _ = kogge_stone_add(sw[:, :w, :], cw[:, :w, :], key,
+                                carry_in=zero_bit)
+    else:
+        hi, _ = _ripple_add_fused(sw[:, :w, :], cw[:, :w, :],
+                                  zero_bit, key, adder_mode())
     return jnp.concatenate([low, hi], axis=1)
 
 
