@@ -622,11 +622,9 @@ class CloudEvaluator:
                 ow = 2 * w
                 if count_gates:
                     if fz.mul_mode() == "csa" and use_kogge:
-                        # latency mode: parallel-prefix final add
-                        mn = min(wl, wr)
-                        self.gate_count += (
-                            w * mn + 2 * mn * (w + 1) + _kogge_count(w)
-                        ) * batch
+                        # latency mode: Wallace tree (log-depth)
+                        self.gate_count += fz._wallace_bootstraps(
+                            w, min(wl, wr)) * batch
                     elif fz.mul_mode() == "csa":
                         self.gate_count += fz._csa_bootstraps_xy(
                             w, min(wl, wr), pb) * batch

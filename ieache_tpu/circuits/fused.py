@@ -190,6 +190,110 @@ def csa3_add(a, b, c, u, v, key: DeviceCloudKey):
     return out, carry
 
 
+def _compress3_words(triples, key: DeviceCloudKey):
+    """One Wallace layer: every (a, b, c) word triple compressed 3:2
+    in TWO batched bootstrap waves (all triples share the waves).
+
+    triples: list of (a, b, c), each (B, L, n+1).  Returns
+    [(sum_i, carry_i<<1)] flattened — exact per bit column:
+    a+b+c = s + 2*maj, the shifted carry drops its top bit (mod 2^L).
+    """
+    n = key.params.n
+    bsz, L, m = triples[0][0].shape
+    g = len(triples)
+    a = jnp.concatenate([t[0] for t in triples], 0)  # (g*B, L, m)
+    b = jnp.concatenate([t[1] for t in triples], 0)
+    c = jnp.concatenate([t[2] for t in triples], 0)
+
+    pre_xor = 2 * a + 2 * b
+    pre_xor = pre_xor.at[:, :, n].add(jnp.int32(2 * MU))
+    pre_maj = a + b + c
+    both = _bootstrap_raw(
+        jnp.concatenate([pre_xor, pre_maj], 0).reshape(2 * g * bsz * L, m),
+        key,
+    ).reshape(2 * g * bsz, L, m)
+    xab, maj = both[: g * bsz], both[g * bsz:]
+
+    pre_s = 2 * xab + 2 * c
+    pre_s = pre_s.at[:, :, n].add(jnp.int32(2 * MU))
+    s = _bootstrap_raw(pre_s.reshape(g * bsz * L, m), key).reshape(
+        g * bsz, L, m
+    )
+
+    zero_col = gates.CONSTANT(jnp.zeros((g * bsz, 1), jnp.int32), n)
+    carry = jnp.concatenate([zero_col, maj[:, : L - 1, :]], axis=1)
+    out = []
+    for i in range(g):
+        out.append(s[i * bsz:(i + 1) * bsz])
+        out.append(carry[i * bsz:(i + 1) * bsz])
+    return out
+
+
+def _mul_wallace(partials, key: DeviceCloudKey):
+    """Wallace-tree product from precomputed partials: log-depth 3:2
+    compression (2 batched waves per layer) + ONE parallel-prefix add
+    — the latency multiplier (r5).  partials (Wy, B, Wx, n+1), row i
+    weighted 2^i; returns (B, Wx+Wy, n+1), exact mod 2^(Wx+Wy).
+
+    vs the windowed CSA's 2*Wy serial compress waves, the tree runs in
+    2*ceil(log_{3/2}) layers (~16 waves at W=32) at ~2x the compress
+    bootstraps — the latency/throughput trade the amode=kogge config
+    exists for.
+    """
+    wy, bsz, wx, m = partials.shape
+    n = key.params.n
+    L = wx + wy
+
+    def pad(word, lo):
+        cols = []
+        if lo:
+            cols.append(_like_vma(gates.CONSTANT(
+                jnp.zeros((bsz, lo), jnp.int32), n), word))
+        cols.append(word)
+        hi = L - lo - word.shape[1]
+        if hi:
+            cols.append(_like_vma(gates.CONSTANT(
+                jnp.zeros((bsz, hi), jnp.int32), n), word))
+        return jnp.concatenate(cols, axis=1)
+
+    words = [pad(partials[i], i) for i in range(wy)]
+    while len(words) > 2:
+        g = len(words) // 3
+        triples = [tuple(words[3 * j:3 * j + 3]) for j in range(g)]
+        words = _compress3_words(triples, key) + words[3 * g:]
+    if len(words) == 1:
+        return words[0]
+    zero_bit = _like_vma(
+        gates.CONSTANT(jnp.zeros((bsz,), jnp.int32), n), words[0]
+    )
+    out, _ = kogge_stone_add(words[0], words[1], key,
+                             carry_in=zero_bit)
+    return out
+
+
+def _kogge_count_fz(w: int) -> int:
+    count, we, dist = 3 * w, w + 1, 1
+    while dist < we:
+        count += 3 * (we - dist)
+        dist *= 2
+    return count
+
+
+def _wallace_bootstraps(wx: int, wy: int) -> int:
+    """Exact per-lane bootstrap count of the Wallace latency multiply
+    (partials + 3-per-bit-per-triple layers + one prefix add)."""
+    L = wx + wy
+    count = wx * wy
+    nwords = wy
+    while nwords > 2:
+        g = nwords // 3
+        count += 3 * g * L
+        nwords = 2 * g + (nwords - 3 * g)
+    if nwords == 2:
+        count += _kogge_count_fz(L)
+    return count
+
+
 @jax.jit
 def twos_complement(x, key: DeviceCloudKey):
     b, w, _ = x.shape
@@ -330,6 +434,9 @@ def schoolbook_mul_csa(x, y, key: DeviceCloudKey,
         partials = _bootstrap_raw(
             pre.reshape(wy * b * w, m), key
         ).reshape(wy, b, w, m)
+        # Wallace tree: log-depth compression instead of the Wy-serial
+        # windowed scan (the latency multiplier)
+        return _mul_wallace(partials, key)
 
     def round_step(carry, xs_i):
         sw, cw = carry                         # (B, W+1, m) each

@@ -88,3 +88,27 @@ def test_fused_mul():
     assert words.decrypt_word(ks, prod) == [
         int(x) * int(y) for x, y in zip(a, b)
     ]
+
+
+def test_wallace_latency_multiplier_matches_csa():
+    """The latency multiplier (one-wave partials + Wallace-tree 3:2
+    compression + prefix final add, r5) is value-identical to the
+    windowed CSA across widths, including asymmetric ones."""
+    ks, dck = _setup()
+    fz = fused
+    s = prng.key_from_seed_words([0xBA])
+    rng = np.random.RandomState(9)
+    for wx, wy in ((8, 8), (8, 3), (5, 8), (8, 1)):
+        av = rng.randint(0, 1 << wx, 4)
+        bv = rng.randint(0, 1 << wy, 4)
+        xw = words.encrypt_word(ks, av, wx, prng.derive(s, wx * 16 + wy))
+        yw = words.encrypt_word(ks, bv, wy,
+                                prng.derive(s, wx * 16 + wy + 1))
+        fast = words.decrypt_word(
+            ks, np.asarray(fz.schoolbook_mul_csa(xw, yw, dck,
+                                                 latency=True)))
+        slow = words.decrypt_word(
+            ks, np.asarray(fz.schoolbook_mul_csa(xw, yw, dck)))
+        want = [(int(a) * int(b)) % (1 << (wx + wy))
+                for a, b in zip(av, bv)]
+        assert fast == slow == want, (wx, wy)
