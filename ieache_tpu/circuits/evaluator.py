@@ -621,10 +621,17 @@ class CloudEvaluator:
                     raise MulWidthError("Cannot multiply 256 bit number!")
                 ow = 2 * w
                 if count_gates:
-                    if fz.mul_mode() == "csa" and use_kogge:
-                        # latency mode: Wallace tree (log-depth)
+                    if (fz.mul_mode() == "csa" and use_kogge
+                            and batch * (w + 1) <= 64):
+                        # latency mode, wave-bound regime: Wallace
                         self.gate_count += fz._wallace_bootstraps(
                             w, min(wl, wr)) * batch
+                    elif fz.mul_mode() == "csa" and use_kogge:
+                        # latency mode: windowed scan + prefix final
+                        mn = min(wl, wr)
+                        self.gate_count += (
+                            w * mn + 2 * mn * (w + 1) + _kogge_count(w)
+                        ) * batch
                     elif fz.mul_mode() == "csa":
                         self.gate_count += fz._csa_bootstraps_xy(
                             w, min(wl, wr), pb) * batch

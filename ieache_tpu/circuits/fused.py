@@ -434,9 +434,14 @@ def schoolbook_mul_csa(x, y, key: DeviceCloudKey,
         partials = _bootstrap_raw(
             pre.reshape(wy * b * w, m), key
         ).reshape(wy, b, w, m)
-        # Wallace tree: log-depth compression instead of the Wy-serial
-        # windowed scan (the latency multiplier)
-        return _mul_wallace(partials, key)
+        if b * (w + 1) <= 64:
+            # truly wave-bound regime (e.g. B=1): the Wallace tree's
+            # log depth wins despite ~1.7x the compress bootstraps.
+            # At b*(W+1) > ~64 lanes the windowed scan's waves already
+            # keep the chip near its throughput peak and extra gates
+            # cost linearly (measured r5: B=8 W=16 A-B*C 1.77 s
+            # windowed vs 2.55 s Wallace; B=1 W=32 2.11 vs 2.05)
+            return _mul_wallace(partials, key)
 
     def round_step(carry, xs_i):
         sw, cw = carry                         # (B, W+1, m) each
