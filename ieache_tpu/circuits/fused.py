@@ -195,8 +195,9 @@ def _compress3_words(triples, key: DeviceCloudKey):
     in TWO batched bootstrap waves (all triples share the waves).
 
     triples: list of (a, b, c), each (B, L, n+1).  Returns
-    [(sum_i, carry_i<<1)] flattened — exact per bit column:
-    a+b+c = s + 2*maj, the shifted carry drops its top bit (mod 2^L).
+    [sum_i, maj_i] flattened — exact per bit column: a+b+c = s +
+    2*maj; the caller places maj one bit position up (support
+    tracking owns the shift and the mod-2^L truncation).
     """
     n = key.params.n
     bsz, L, m = triples[0][0].shape
@@ -220,12 +221,10 @@ def _compress3_words(triples, key: DeviceCloudKey):
         g * bsz, L, m
     )
 
-    zero_col = gates.CONSTANT(jnp.zeros((g * bsz, 1), jnp.int32), n)
-    carry = jnp.concatenate([zero_col, maj[:, : L - 1, :]], axis=1)
     out = []
     for i in range(g):
         out.append(s[i * bsz:(i + 1) * bsz])
-        out.append(carry[i * bsz:(i + 1) * bsz])
+        out.append(maj[i * bsz:(i + 1) * bsz])  # weight: column + 1
     return out
 
 
@@ -244,30 +243,62 @@ def _mul_wallace(partials, key: DeviceCloudKey):
     n = key.params.n
     L = wx + wy
 
-    def pad(word, lo):
+    # Dadda-style support tracking: every word carries its absolute
+    # bit offset `lo`; a layer compresses each triple only over the
+    # triple's union span (padded to the layer max for wave batching)
+    # instead of the full 2W — statically-known-zero columns cost no
+    # bootstraps (~40% fewer compress gates at W=32)
+    def zpad(word, left, right):
         cols = []
-        if lo:
+        if left:
             cols.append(_like_vma(gates.CONSTANT(
-                jnp.zeros((bsz, lo), jnp.int32), n), word))
+                jnp.zeros((bsz, left), jnp.int32), n), word))
         cols.append(word)
-        hi = L - lo - word.shape[1]
-        if hi:
+        if right:
             cols.append(_like_vma(gates.CONSTANT(
-                jnp.zeros((bsz, hi), jnp.int32), n), word))
+                jnp.zeros((bsz, right), jnp.int32), n), word))
         return jnp.concatenate(cols, axis=1)
 
-    words = [pad(partials[i], i) for i in range(wy)]
+    words = [(partials[i], i) for i in range(wy)]  # (tensor, lo)
     while len(words) > 2:
+        words.sort(key=lambda t: t[1])
         g = len(words) // 3
-        triples = [tuple(words[3 * j:3 * j + 3]) for j in range(g)]
-        words = _compress3_words(triples, key) + words[3 * g:]
-    if len(words) == 1:
-        return words[0]
+        triples_meta = []
+        span_max = 0
+        for j in range(g):
+            grp = words[3 * j:3 * j + 3]
+            lo_g = min(t[1] for t in grp)
+            hi_g = max(t[1] + t[0].shape[1] for t in grp)
+            triples_meta.append((grp, lo_g, hi_g))
+            span_max = max(span_max, hi_g - lo_g)
+        triples = []
+        for grp, lo_g, hi_g in triples_meta:
+            padded = tuple(
+                zpad(t[0], t[1] - lo_g,
+                     span_max - (t[1] - lo_g) - t[0].shape[1])
+                for t in grp
+            )
+            triples.append(padded)
+        outs = _compress3_words(triples, key)
+        nxt = []
+        for j, (grp, lo_g, hi_g) in enumerate(triples_meta):
+            s_w, c_w = outs[2 * j], outs[2 * j + 1]
+            # columns past L drop (mod 2^L) — padded-to-layer-max
+            # words of high-offset groups can stick out
+            keep_s = min(span_max, L - lo_g)
+            nxt.append((s_w[:, :keep_s, :], lo_g))
+            # carry covers [lo_g+1, lo_g+1+span); truncate mod 2^L
+            keep = min(span_max, L - (lo_g + 1))
+            if keep > 0:
+                nxt.append((c_w[:, :keep, :], lo_g + 1))
+        words = nxt + words[3 * g:]
+    full = [zpad(t, lo, L - lo - t.shape[1]) for t, lo in words]
+    if len(full) == 1:
+        return full[0]
     zero_bit = _like_vma(
-        gates.CONSTANT(jnp.zeros((bsz,), jnp.int32), n), words[0]
+        gates.CONSTANT(jnp.zeros((bsz,), jnp.int32), n), full[0]
     )
-    out, _ = kogge_stone_add(words[0], words[1], key,
-                             carry_in=zero_bit)
+    out, _ = kogge_stone_add(full[0], full[1], key, carry_in=zero_bit)
     return out
 
 
@@ -281,15 +312,31 @@ def _kogge_count_fz(w: int) -> int:
 
 def _wallace_bootstraps(wx: int, wy: int) -> int:
     """Exact per-lane bootstrap count of the Wallace latency multiply
-    (partials + 3-per-bit-per-triple layers + one prefix add)."""
+    (partials + support-trimmed 3:2 layers + one prefix add) — mirrors
+    :func:`_mul_wallace`'s interval bookkeeping exactly."""
     L = wx + wy
     count = wx * wy
-    nwords = wy
-    while nwords > 2:
-        g = nwords // 3
-        count += 3 * g * L
-        nwords = 2 * g + (nwords - 3 * g)
-    if nwords == 2:
+    words = [(i, i + wx) for i in range(wy)]
+    while len(words) > 2:
+        words.sort()
+        g = len(words) // 3
+        metas = []
+        span_max = 0
+        for j in range(g):
+            grp = words[3 * j:3 * j + 3]
+            lo_g = min(lo for lo, _ in grp)
+            hi_g = max(hi for _, hi in grp)
+            metas.append(lo_g)
+            span_max = max(span_max, hi_g - lo_g)
+        nxt = []
+        for lo_g in metas:
+            count += 3 * span_max      # xor + maj + xor per column
+            nxt.append((lo_g, min(lo_g + span_max, L)))
+            keep = min(span_max, L - (lo_g + 1))
+            if keep > 0:
+                nxt.append((lo_g + 1, lo_g + 1 + keep))
+        words = nxt + words[3 * g:]
+    if len(words) == 2:
         count += _kogge_count_fz(L)
     return count
 
