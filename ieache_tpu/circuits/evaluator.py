@@ -134,11 +134,15 @@ def _decrypt_meta_value(nbit_ks: SecretKeySet, word) -> np.ndarray:
 def _normalized_neg(neg: np.ndarray) -> np.ndarray:
     """Negativity code -> 0/1 per lane.  Operand codes: 2 from clients
     (`process.c:80-93`); 1/2/4 when a chained answer is fed back as an
-    operand (`cloud.c:798-827`) — both normalize to "is negative"."""
-    bad = set(neg.tolist()) - {0, 1, 2, 4}
+    operand (`cloud.c:798-827`), plus the r5 code 5 (negated two's
+    complement) — all normalize to "is negative".  Cross-JOB re-import
+    of sign-ambiguous answers (codes 1/2/5) keeps the reference's
+    magnitude heuristic (`verif.c:132-166`); in-job chains bypass
+    codes entirely and are exact."""
+    bad = set(neg.tolist()) - {0, 1, 2, 4, 5}
     if bad:
         raise ValueError(f"invalid negativity codes: {bad}")
-    return np.isin(neg, (1, 2, 4)).astype(np.int64)
+    return np.isin(neg, (1, 2, 4, 5)).astype(np.int64)
 
 
 def _sign_plan(op: int, combined: np.ndarray):
@@ -161,27 +165,45 @@ def _sign_plan(op: int, combined: np.ndarray):
     return swap, ~mag
 
 
-def _take_width(val: jnp.ndarray, width: int, n: int,
-                signed: bool = False) -> jnp.ndarray:
-    """Slice a value word to `width` bits, extending if it stores
-    fewer: trivial LWE(0) rows for magnitudes (a chained answer keeps
-    only out_width bits in memory; the reference's answers are padded
-    to 8 slots on disk, `cloud.c:899-916`, so its chained operands are
-    always wide enough — ours must extend explicitly), or copies of
-    the top bit for two's-complement intermediates (sign extension is
-    free: ciphertext rows replicate)."""
+def _take_width(val: jnp.ndarray, width: int, n: int) -> jnp.ndarray:
+    """Slice a value word to `width` bits, zero-extending with trivial
+    LWE(0) rows if it stores fewer (a chained answer keeps only
+    out_width bits in memory; the reference's answers are padded to 8
+    slots on disk, `cloud.c:899-916`, so its chained operands are
+    always wide enough — ours must extend explicitly)."""
     have = val.shape[1]
     if have >= width:
         return val[:, :width, :]
-    if signed:
-        pad = jnp.broadcast_to(
+    pad = gates.CONSTANT(
+        jnp.zeros((val.shape[0], width - have), jnp.int32), n
+    )
+    return jnp.concatenate([val, pad], axis=1)
+
+
+def _take_width_lane(val: jnp.ndarray, width: int, n: int,
+                     sext) -> jnp.ndarray:
+    """Per-LANE width extension for chain intermediates: lanes whose
+    bits are a signed two's complement (sext=1, the planner's impure
+    lanes) replicate the top bit — sign extension is free, ciphertext
+    rows copy — while magnitude lanes (pure, decoded unsigned) zero-
+    extend.  A single per-side choice is WRONG both ways: r5 review
+    found zero-extension corrupting negative two's-complement lanes
+    and sign-extension corrupting MSB-set magnitudes (7+7=14 at w=4
+    widened to 8 read 254)."""
+    have = val.shape[1]
+    if have >= width:
+        return val[:, :width, :]
+    zeros = gates.CONSTANT(
+        jnp.zeros((val.shape[0], width - have), jnp.int32), n
+    )
+    if sext is None:
+        pad = zeros
+    else:
+        top = jnp.broadcast_to(
             val[:, have - 1:have, :],
             (val.shape[0], width - have, val.shape[2]),
         )
-    else:
-        pad = gates.CONSTANT(
-            jnp.zeros((val.shape[0], width - have), jnp.int32), n
-        )
+        pad = jnp.where(sext[:, None, None] == 1, top, zeros)
     return jnp.concatenate([val, pad], axis=1)
 
 
@@ -205,23 +227,26 @@ def _csa3_fusable(plan) -> bool:
 
 
 def _kogge_count(w: int) -> int:
-    """Exact bootstraps per lane of one W-bit parallel-prefix add."""
-    count, we, dist = 3 * w, w + 1, 1
-    while dist < we:
-        count += 3 * (we - dist)
-        dist *= 2
-    return count
+    """Exact bootstraps per lane of one W-bit parallel-prefix add
+    (single source of truth: circuits.fused)."""
+    from ieache_tpu.circuits import fused as fz
+
+    return fz._kogge_count_fz(w)
 
 
 @functools.partial(jax.jit, static_argnames=("plan", "amode", "mmode"))
-def _chain_exec(dck, vals, swaps, comps, plan, amode, mmode):
+def _chain_exec(dck, vals, comps, sexts, plan, amode, mmode):
     """Execute a planned expression DAG inside one trace.
 
-    plan (static): tuple of (op, width, out_width, lhs, rhs) per step,
-    where lhs/rhs reference either an input operand ("opnd", i) or an
-    earlier step's output ("step", j).  vals are the operand value
-    words; swaps/comps the per-step per-lane dataflow masks from
-    :func:`_sign_plan`.
+    plan (static): tuple of (op, wl, wr, ow, lhs, rhs, kinds) per
+    step, where lhs/rhs reference either an input operand
+    ("opnd", i) or an earlier step's output ("step", j).  vals are
+    the operand value words; comps the per-step per-lane rhs
+    complement masks (the lhs is never complemented — the planner's
+    negflag folding guarantees it); sexts the per-step per-lane
+    sign-extension masks consulted when a later, wider step consumes
+    that step's output (impure lanes sign-extend, magnitude lanes
+    zero-extend).
     """
     from ieache_tpu.circuits import fused as fz
 
@@ -230,37 +255,23 @@ def _chain_exec(dck, vals, swaps, comps, plan, amode, mmode):
     if amode == "kogge" and _csa3_fusable(plan):
         # fused 3-term add: one carry-free 3:2 compression + ONE
         # parallel-prefix add (~14 serial waves at W=16 vs 24 for the
-        # chained pair) — the r5 latency path.  Per-lane sign dataflow
-        # folds into complement flags + a cleartext carry constant
-        # K ∈ {0..2}: step 1 computes p1 + (q1 ~ cm1) + cm1 with
-        # (p1, q1) = sw1-selected (a, b); step 2 either adds c (maybe
-        # complemented) or computes c − s1 = c + ~p1 + (q1 ~ ¬cm1)
-        # + (2 − cm1).
+        # chained pair) — the r5 latency path.  With the negflag-
+        # folded planning the dataflow is uniformly
+        # a + (b ~ cm1) + (c ~ cm2) + cm1 + cm2; the cleartext
+        # constant rides as two unit carries.
         w = plan[1][3]
         a3 = _take_width(vals[0], w, n)
         b3 = _take_width(vals[1], w, n)
         c3 = _take_width(vals[2], w, n)
-        sw1 = swaps[0].astype(jnp.int32)
         cm1 = comps[0].astype(jnp.int32)
-        sw2 = swaps[1].astype(jnp.int32)
         cm2 = comps[1].astype(jnp.int32)
-        p1 = jnp.where(sw1[:, None, None] == 1, b3, a3)
-        q1 = jnp.where(sw1[:, None, None] == 1, a3, b3)
-        n_p = sw2 * cm2
-        n_q = cm1 ^ n_p
-        n_c = (1 - sw2) * cm2
-        k_const = jnp.where(
-            sw2 == 0, cm1 + cm2,
-            jnp.where(cm2 == 0, cm1, 2 - cm1),
-        )
-        pw = jnp.where(n_p[:, None, None] == 1,
-                       arith.not_word(p1), p1)
-        qw = jnp.where(n_q[:, None, None] == 1,
-                       arith.not_word(q1), q1)
-        cw_ = jnp.where(n_c[:, None, None] == 1,
+        k_const = cm1 + cm2
+        bw_ = jnp.where(cm1[:, None, None] == 1,
+                        arith.not_word(b3), b3)
+        cw_ = jnp.where(cm2[:, None, None] == 1,
                         arith.not_word(c3), c3)
         out3, _ = fz.csa3_add(
-            pw, qw, cw_,
+            a3, bw_, cw_,
             (k_const >= 1).astype(jnp.int32),
             (k_const >= 2).astype(jnp.int32), dck,
         )
@@ -272,12 +283,15 @@ def _chain_exec(dck, vals, swaps, comps, plan, amode, mmode):
         kind, i = ref
         return vals[i] if kind == "opnd" else outs[i]
 
+    def ext_of(ref):
+        return None if ref[0] == "opnd" else sexts[ref[1]]
+
     for k, step in enumerate(plan):
         (op, wl, wr, ow, lhs, rhs) = step[:6]
-        kl, kr = step[6] if len(step) > 6 else ("coded", "coded")
         if op == OP_MUL and mmode == "csa":
             # width-asymmetric multiply: each side at its true width,
-            # rounds over the narrower operand
+            # rounds over the narrower operand (magnitude semantics:
+            # zero-extension)
             x = _take_width(val_of(lhs), wl, n)
             bv = _take_width(val_of(rhs), wr, n)
             if wr > wl:
@@ -287,16 +301,15 @@ def _chain_exec(dck, vals, swaps, comps, plan, amode, mmode):
             outs.append(cur)
             continue
         w = max(wl, wr)
-        x = _take_width(val_of(lhs), w, n, signed=(kl == "twos"))
-        bv = _take_width(val_of(rhs), w, n, signed=(kr == "twos"))
         if op == OP_MUL:
+            x = _take_width(val_of(lhs), w, n)
+            bv = _take_width(val_of(rhs), w, n)
             cur = fz.schoolbook_mul_fused(x, bv, dck)
         else:
-            sw = swaps[k][:, None, None]
+            x = _take_width_lane(val_of(lhs), w, n, ext_of(lhs))
+            bv = _take_width_lane(val_of(rhs), w, n, ext_of(rhs))
             cm = comps[k][:, None, None]
-            a_ = jnp.where(sw, bv, x)
-            y = jnp.where(sw, x, bv)
-            y = jnp.where(cm, arith.not_word(y), y)
+            y = jnp.where(cm, arith.not_word(bv), bv)
             ci = gates.CONSTANT(comps[k].astype(jnp.int32), n)
             if amode == "kogge":
                 # parallel-prefix adder: O(log W) serial waves — the
@@ -304,9 +317,9 @@ def _chain_exec(dck, vals, swaps, comps, plan, amode, mmode):
                 # honored the evaluator's kogge_stone selection before,
                 # so the r4 'KS is neutral' comparison measured the
                 # ripple path twice)
-                cur, _ = fz.kogge_stone_add(a_, y, dck, ci)
+                cur, _ = fz.kogge_stone_add(x, y, dck, ci)
             else:
-                cur, _ = fz.ripple_add(a_, y, ci, dck, amode)
+                cur, _ = fz.ripple_add(x, y, ci, dck, amode)
         outs.append(cur)
     return outs[-1]
 
@@ -524,14 +537,14 @@ class CloudEvaluator:
         """
         from ieache_tpu.circuits import fused as fz
 
-        plan, swaps, comps, answer_codes, combined, step_w = \
+        plan, comps, sexts, answer_codes, combined, step_w = \
             self._plan_steps(steps, operands)
         amode = ("kogge" if self.adder == "kogge_stone"
                  else fz.adder_mode())
         result = _chain_exec(
             self.dck,
             tuple(o.value for o in operands),
-            tuple(swaps), tuple(comps), tuple(plan),
+            tuple(comps), tuple(sexts), tuple(plan),
             amode, fz.mul_mode(),
         )
         final_op = steps[-1][0]
@@ -588,9 +601,8 @@ class CloudEvaluator:
                     else step_w[ref[1]])
 
         zeros = np.zeros(batch, np.int64)
-        plan, swaps, comps = [], [], []
+        plan, comps, sexts = [], [], []
         answer_codes = combined = None
-        final_is_addsub = False
         for op, lhs, rhs in steps:
             if op == 3:  # 3 and 4 both mean multiply (see compute())
                 op = OP_MUL
@@ -640,10 +652,10 @@ class CloudEvaluator:
                             fz.MUL_BOOTSTRAPS[fz.mul_mode()](w, pb)
                             * batch
                         )
-                swap, comp = zeros.astype(bool), zeros.astype(bool)
+                comp = zeros.astype(bool)
+                sext = zeros          # mul outputs are magnitudes
                 kinds = ("coded", "coded")
                 step_kind.append(("coded", answer_codes, None))
-                final_is_addsub = False
             elif op in (OP_ADD, OP_SUB):
                 kl = side_of(lhs)
                 kr = side_of(rhs)
@@ -672,8 +684,8 @@ class CloudEvaluator:
                 negf = (fl ^ el).astype(np.int64)
                 er = er ^ el
                 comp = er.astype(bool)
-                swap = zeros.astype(bool)
                 pure = (pl & pr & (1 - er)).astype(np.int64)
+                sext = 1 - pure       # impure lanes: bits are signed
                 if count_gates:
                     if use_kogge:
                         self.gate_count += _kogge_count(w) * batch
@@ -693,20 +705,18 @@ class CloudEvaluator:
                 answer_codes = tbl[sel]
                 combined = el + 2 * er0  # effective signs (info only)
                 kinds = (kl[0], kr[0])
-                final_is_addsub = True
             else:
                 raise ValueError(f"bad op {op}")
             plan.append((op, wl, wr, ow, lhs, rhs, kinds))
-            swaps.append(jnp.asarray(swap))
             comps.append(jnp.asarray(comp))
+            sexts.append(jnp.asarray(sext))
             step_w.append(ow)
-        del final_is_addsub  # (documentational; codes already final)
         if count_gates and use_kogge and _csa3_fusable(tuple(plan)):
             # the fused 3-term path replaces the two chained prefix
             # adds with 3w compression bootstraps + ONE prefix add
             w = plan[1][3]
             self.gate_count += (3 * w - _kogge_count(w)) * batch
-        return plan, swaps, comps, answer_codes, combined, step_w
+        return plan, comps, sexts, answer_codes, combined, step_w
 
     def chain_memory_analysis(self, steps: list, operands: list):
         """AOT-compile the whole-chain program (NO execution) and
@@ -715,7 +725,7 @@ class CloudEvaluator:
         #6).  Returns a dict of byte sizes."""
         from ieache_tpu.circuits import fused as fz
 
-        plan, swaps, comps, _codes, _comb, _w = self._plan_steps(
+        plan, comps, sexts, _codes, _comb, _w = self._plan_steps(
             steps, operands, count_gates=False
         )
         amode = ("kogge" if self.adder == "kogge_stone"
@@ -723,7 +733,7 @@ class CloudEvaluator:
         lowered = _chain_exec.lower(
             self.dck,
             tuple(o.value for o in operands),
-            tuple(swaps), tuple(comps), tuple(plan),
+            tuple(comps), tuple(sexts), tuple(plan),
             amode, fz.mul_mode(),
         )
         compiled = lowered.compile()

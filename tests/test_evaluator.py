@@ -396,3 +396,50 @@ def test_chain_honors_kogge_stone_adder():
     # the fused 3-term path (r5): 3w compression + ONE prefix add
     assert counts["kogge_stone"] == (3 * 8 + 87) * 4
     assert counts["ripple"] == 2 * 8 * 2 * 4  # maj2: 2 boots/bit
+
+
+def test_chain_widening_per_lane_extension():
+    """Widening a chain intermediate must extend PER LANE: magnitude
+    (pure) lanes zero-extend even with the MSB set, signed (impure)
+    lanes sign-extend — a single per-side choice corrupts one or the
+    other (r5 review finding: 7+7=14 at w=4 widened signed read 254)."""
+    pair, cloud = _setup()
+    s = prng.key_from_seed_words([0xD1])
+    a = ev.encrypt_operand(pair.main, pair.nbit, [7, 3], 4,
+                           prng.derive(s, 0))
+    b = ev.encrypt_operand(pair.main, pair.nbit, [7, -6], 4,
+                           prng.derive(s, 1))
+    c = ev.encrypt_operand(pair.main, pair.nbit, [100, 100], 8,
+                           prng.derive(s, 2))
+    ans, _ = cloud.compute_chain([ev.OP_ADD, ev.OP_ADD], [a, b, c])
+    got = ev.decrypt_answer(pair.main, pair.nbit, ans, ev.OP_ADD)
+    # lane 0: pure magnitude 14 (MSB set at w=4) -> zero-extend;
+    # lane 1: signed -3 -> sign-extend
+    assert got == [7 + 7 + 100, 3 - 6 + 100]
+
+
+def test_code5_answer_reimports_as_operand():
+    """A chained answer carrying the r5 code 5 (negated two's
+    complement) must be accepted when fed back as an operand (the
+    cross-job chaining flow, cloud.c:798-827); its re-import keeps the
+    reference's magnitude heuristic, so only the no-crash contract and
+    the unambiguous lane are asserted."""
+    pair, cloud = _setup()
+    s = prng.key_from_seed_words([0xD2])
+    a = ev.encrypt_operand(pair.main, pair.nbit, [3, -9], 8,
+                           prng.derive(s, 0))
+    b = ev.encrypt_operand(pair.main, pair.nbit, [5, 5], 8,
+                           prng.derive(s, 1))
+    c = ev.encrypt_operand(pair.main, pair.nbit, [10, -4], 8,
+                           prng.derive(s, 2))
+    ans, info = cloud.compute_chain([ev.OP_ADD, ev.OP_SUB], [a, b, c])
+    assert 5 in info["neg_codes"]
+    # in-job decryption of the code-5 answer is exact
+    direct = ev.decrypt_answer(pair.main, pair.nbit, ans, ev.OP_SUB)
+    assert direct == [3 + 5 - 10, -9 + 5 - (-4)]
+    d = ev.encrypt_operand(pair.main, pair.nbit, [1, 1], 8,
+                           prng.derive(s, 3))
+    # re-import must not raise; its VALUE semantics follow the
+    # reference's magnitude heuristic (answer/operand code vocabulary
+    # collisions predate r5 — documented hazard, verif.c:132-166)
+    cloud.compute(ev.OP_ADD, ans, d)
